@@ -1,0 +1,169 @@
+"""Config system for the framework.
+
+The reference has no config system — every script hard-codes a ``hp`` dict literal
+plus static flags and absolute Windows paths (reference ``main.py:30-48``,
+``point_density_effect.py:23-33``). This module exposes exactly those knobs as typed
+dataclasses with JSON round-trip and dotted CLI overrides (``--hp.lr 1e-3``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+
+@dataclass
+class HyperParams:
+    """Tuned hyperparameters. Defaults are the reference's committed best trial
+    (reference ``main.py:38-48``)."""
+
+    lr: float = 0.00179966410046844
+    weight_decay: float = 8.0250963438986e-05
+    num_points: int = 7168
+    batch_size: int = 36
+    num_augs: int = 10
+    patience: int = 10
+    ground_filter_height: float = 0.0
+    activation_function: str = "ReLU"  # ReLU | LeakyReLU | ELU
+    neuron_multiplier: int = 0  # 0 means "original architecture" (x1)
+    dropout_probability: float = 0.5
+    optimizer: str = "Adam"  # Adam | AdamW (reference hyperparameter_tuning.py:70)
+
+
+@dataclass
+class ModelConfig:
+    """Architecture knobs beyond the reference constructor surface."""
+
+    sa1_ratio: float = 0.2
+    sa1_radius: float = 2.0
+    sa2_ratio: float = 0.25
+    sa2_radius: float = 8.0
+    max_neighbors: int = 64  # torch_cluster radius() cap (pointnet2_regressor.py:15)
+    # "doubled radius" variant seen in the reference run history
+    # (runs/Jun23_..._w_doubled_radius): sa radii x2.
+    doubled_radius: bool = False
+    # multi-scale grouping variant (BASELINE.json configs[2])
+    msg: bool = False
+    compute_dtype: str = "float32"  # float32 | bfloat16 for matmul inputs
+
+
+@dataclass
+class DataConfig:
+    train_dir: str = ""
+    val_dir: str = ""
+    test_dir: str = ""
+    biomass_csv: str = ""
+    glob: str = "*.las"
+    use_columns: List[str] = field(default_factory=lambda: ["intensity_normalized"])
+    use_datasets: List[str] = field(default_factory=lambda: ["BC", "RM", "PF"])
+    use_presampled: bool = True
+    presampled_suffix: str = "_fps_7168"  # stripped from PlotIDs (pointcloud_dataloader.py:184)
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh axes. dp shards the batch; mp shards centroid/point compute."""
+
+    dp: int = -1  # -1: all devices on the data axis
+    mp: int = 1
+
+
+@dataclass
+class TrainConfig:
+    hp: HyperParams = field(default_factory=HyperParams)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    num_epochs: int = 100
+    early_stopping: bool = True
+    seed: int = 0
+    model_dir: str = "models_out"
+    log_every: int = 1
+
+    # ---- serialization ------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: Optional[str] = None) -> str:
+        s = json.dumps(self.to_dict(), indent=2)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TrainConfig":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def with_overrides(self, overrides: Sequence[str]) -> "TrainConfig":
+        """Apply dotted-path overrides like ``hp.lr=0.001`` or ``--hp.lr 0.001``."""
+        d = self.to_dict()
+        pairs = _parse_override_args(overrides)
+        for key, raw in pairs:
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config section: {key!r}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"unknown config key: {key!r}")
+            node[leaf] = _coerce(raw, node[leaf])
+        return TrainConfig.from_dict(d)
+
+
+def _parse_override_args(args: Sequence[str]) -> List[tuple]:
+    pairs = []
+    i = 0
+    args = list(args)
+    while i < len(args):
+        a = args[i]
+        if a.startswith("--"):
+            a = a[2:]
+        if "=" in a:
+            k, v = a.split("=", 1)
+            pairs.append((k, v))
+            i += 1
+        else:
+            if i + 1 >= len(args):
+                raise ValueError(f"override {a!r} missing a value")
+            pairs.append((a, args[i + 1]))
+            i += 2
+    return pairs
+
+
+def _coerce(raw: str, old: Any) -> Any:
+    if isinstance(old, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(old, int) and not isinstance(old, bool):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    if isinstance(old, list):
+        return [s for s in raw.split(",") if s]
+    return raw
+
+
+def _dataclass_from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+            kwargs[f.name] = _dataclass_from_dict(f.type, v)
+        elif f.name in ("hp", "model", "data", "mesh") and isinstance(v, dict):
+            sub = {"hp": HyperParams, "model": ModelConfig, "data": DataConfig, "mesh": MeshConfig}[f.name]
+            kwargs[f.name] = _dataclass_from_dict(sub, v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)

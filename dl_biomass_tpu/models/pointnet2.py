@@ -1,0 +1,189 @@
+"""PointNet++ (SSG) biomass regressor — the TPU-native rebuild of the reference
+``Net`` (``pointnet2_regressor.py:36-58``).
+
+Architecture parity (widths scaled by ``neuron_multiplier``, 0 treated as 1):
+
+  SA1: fps ratio 0.2,  ball r=2,  MLP[3+F, 64, 64, 128]
+  SA2: fps ratio 0.25, ball r=8,  MLP[128+3, 128, 128, 256]
+  SA3: global — MLP[256+3, 256, 512, 1024] + masked global max pool
+  head: MLP[1024, 128, 128, 4], act=None, dropout p       (4 biomass components)
+
+TPU-first differences from the reference (documented, behavior-equivalent):
+  * dense ``(B, N, ...)`` + mask instead of ragged PyG batches;
+  * centroid count per SA layer is static: ``ceil(ratio * N)`` of the padded size
+    rather than of the per-cloud valid count (valid counts are 0.9N..1.1N after
+    augmentation, so the reference's own count varies in the same envelope);
+  * ball query returns a dense (B, M, K<=64) index matrix + mask instead of an
+    edge list; neighbor selection is deterministic first-K-by-index;
+  * fps random start draws from the flax 'fps' RNG stream (torch_cluster's
+    random_start) or falls back to the first valid point when no stream is bound.
+
+Variants beyond the reference constructor surface:
+  * ``doubled_radius`` — the "w_doubled_radius" run-history variant (radii x2);
+  * ``msg`` — multi-scale grouping (two radii per SA layer, concatenated), the
+    BASELINE.json config-3 variant.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dl_biomass_tpu.models.layers import MLP
+from dl_biomass_tpu.ops import ball_query, farthest_point_sample, gather_points, group_neighborhoods, masked_max
+
+
+class SAModule(nn.Module):
+    """Set-abstraction layer: FPS -> ball query -> grouped pointwise MLP -> max.
+
+    Mirrors the reference ``SAModule`` (``pointnet2_regressor.py:5-20``): PointConv
+    message ``MLP([x_j, pos_j - pos_i])`` with max aggregation, no self loops added
+    (each centroid is in its own ball at distance 0 regardless).
+    """
+
+    ratio: float
+    radius: float
+    mlp_channels: Sequence[int]
+    act: Optional[str] = "ReLU"
+    max_neighbors: int = 64
+    extra_radii: Sequence[float] = ()  # MSG: extra scales, features concatenated
+    compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, feat, pos, mask, *, train: bool):
+        b, n, _ = pos.shape
+        m = math.ceil(self.ratio * n)
+
+        if self.has_rng("fps"):
+            idx = farthest_point_sample(
+                pos, mask, m, key=self.make_rng("fps"), use_pallas=self.use_pallas
+            )
+        else:
+            idx = farthest_point_sample(pos, mask, m, use_pallas=self.use_pallas)
+        centers = gather_points(pos, idx)
+        center_mask = jnp.take_along_axis(mask, idx, axis=1)
+
+        def one_scale(r: float, scale_i: int):
+            nbr_idx, nbr_mask = ball_query(
+                centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
+            )
+            grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
+            h = MLP(
+                self.mlp_channels,
+                act=self.act,
+                compute_dtype=self.compute_dtype,
+                name=f"mlp{scale_i}" if scale_i else "mlp",
+            )(grouped, nbr_mask, train=train)
+            return masked_max(h, nbr_mask, axis=2)  # (B, M, C)
+
+        out = one_scale(self.radius, 0)
+        for si, r in enumerate(self.extra_radii, start=1):
+            out = jnp.concatenate([out, one_scale(r, si)], axis=-1)
+        return out, centers, center_mask
+
+
+class GlobalSAModule(nn.Module):
+    """Global set abstraction: MLP over [feat, pos] then masked global max pool.
+
+    Mirrors the reference ``GlobalSAModule`` (``pointnet2_regressor.py:23-33``);
+    ``global_max_pool(x, batch)`` becomes a masked max over the point axis.
+    """
+
+    mlp_channels: Sequence[int]
+    act: Optional[str] = "ReLU"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, pos, mask, *, train: bool):
+        h = jnp.concatenate([feat, pos], axis=-1)
+        h = MLP(self.mlp_channels, act=self.act, compute_dtype=self.compute_dtype, name="mlp")(
+            h, mask, train=train
+        )
+        return masked_max(h, mask, axis=1)  # (B, C)
+
+
+class PointNet2Regressor(nn.Module):
+    """Drop-in TPU equivalent of the reference ``Net(num_features,
+    activation_function, neuron_multiplier, dropout_probability)``."""
+
+    num_features: int
+    activation_function: str = "ReLU"
+    neuron_multiplier: int = 0
+    dropout_probability: float = 0.5
+    # architecture knobs (defaults = reference constants)
+    sa1_ratio: float = 0.2
+    sa1_radius: float = 2.0
+    sa2_ratio: float = 0.25
+    sa2_radius: float = 8.0
+    max_neighbors: int = 64
+    doubled_radius: bool = False
+    msg: bool = False
+    num_outputs: int = 4
+    compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, cloud, *, train: bool = False):
+        nm = self.neuron_multiplier if self.neuron_multiplier != 0 else 1
+        f = self.num_features
+        act = self.activation_function
+        r1 = self.sa1_radius * (2 if self.doubled_radius else 1)
+        r2 = self.sa2_radius * (2 if self.doubled_radius else 1)
+        common = dict(
+            act=act,
+            max_neighbors=self.max_neighbors,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+        )
+        msg1 = (r1 * 2,) if self.msg else ()
+        msg2 = (r2 * 2,) if self.msg else ()
+        sa_mult = 2 if self.msg else 1  # MSG concatenates two scales
+
+        feat, pos, mask = cloud.feat, cloud.pos, cloud.mask
+        if f == 0:
+            # reference: x = coords when use_columns is empty
+            feat = pos
+            f = 3
+
+        h, pos, mask = SAModule(
+            self.sa1_ratio, r1, [3 + f, 64 * nm, 64 * nm, 128 * nm],
+            extra_radii=msg1, name="sa1", **common,
+        )(feat, pos, mask, train=train)
+        h, pos, mask = SAModule(
+            self.sa2_ratio, r2, [128 * nm * sa_mult + 3, 128 * nm, 128 * nm, 256 * nm],
+            extra_radii=msg2, name="sa2", **common,
+        )(h, pos, mask, train=train)
+        h = GlobalSAModule(
+            [256 * nm * sa_mult + 3, 256 * nm, 512 * nm, 1024 * nm],
+            act=act, compute_dtype=self.compute_dtype, name="sa3",
+        )(h, pos, mask, train=train)
+        out = MLP(
+            [1024 * nm, 128 * nm, 128 * nm, self.num_outputs],
+            act=None, dropout=self.dropout_probability,
+            compute_dtype=self.compute_dtype, name="head",
+        )(h, train=train)
+        return out
+
+
+def build_model(cfg, num_features: int) -> PointNet2Regressor:
+    """Construct the regressor from a TrainConfig-style pair (hp + model cfg)."""
+    hp, mc = cfg.hp, cfg.model
+    return PointNet2Regressor(
+        num_features=num_features,
+        activation_function=hp.activation_function,
+        neuron_multiplier=hp.neuron_multiplier,
+        dropout_probability=hp.dropout_probability,
+        sa1_ratio=mc.sa1_ratio,
+        sa1_radius=mc.sa1_radius,
+        sa2_ratio=mc.sa2_ratio,
+        sa2_radius=mc.sa2_radius,
+        max_neighbors=mc.max_neighbors,
+        doubled_radius=mc.doubled_radius,
+        msg=mc.msg,
+        compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
+    )

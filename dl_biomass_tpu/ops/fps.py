@@ -1,0 +1,107 @@
+"""Batched, masked farthest-point sampling (FPS).
+
+TPU-native replacement for the torch_cluster CUDA kernel behind
+``fps(pos, batch, ratio)`` in the reference model (``pointnet2_regressor.py:13``)
+and for the numpy loop in the reference's offline resampler
+(``downsampling_point_clouds.py:55-92``).
+
+Semantics:
+  * iterative max-min sampling: each step picks the point with the largest
+    distance to the already-selected set;
+  * the start point is either a fixed index (the offline resampler seeds at 0)
+    or random over valid points (torch_cluster's ``random_start=True`` default,
+    used by the model's SA layers);
+  * padded (mask=False) points are never selected;
+  * selected points are excluded from re-selection, so indices are unique as
+    long as ``num_samples <= valid count`` (matching the reference's
+    delete-after-pick behavior).
+
+The dense layout is ``(B, N, 3)`` + mask; the whole batch runs in lockstep so the
+sequential k-step loop is vectorized across clouds (VPU lanes) instead of being a
+per-cloud Python loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_NEG = jnp.float32(-jnp.inf)
+
+
+def _fps_one(pos, mask, num_samples: int, start: jax.Array) -> jax.Array:
+    """FPS for a single cloud. pos (N,3) f32, mask (N,) bool -> (k,) int32."""
+    # Distance-to-selected-set, lazily maintained. +inf for valid unseen points so
+    # the first update takes the true distance; -inf for pads / already selected
+    # so argmax never returns them.
+    dists = jnp.where(mask, jnp.inf, _NEG)
+
+    sel0 = start.astype(jnp.int32)
+    selected = jnp.zeros((num_samples,), jnp.int32).at[0].set(sel0)
+
+    def body(i, carry):
+        dists, selected = carry
+        last = selected[i - 1]
+        d = jnp.sum(jnp.square(pos - pos[last]), axis=-1)
+        dists = jnp.minimum(dists, d)
+        dists = dists.at[last].set(_NEG)  # never re-pick
+        nxt = jnp.argmax(dists).astype(jnp.int32)
+        return dists, selected.at[i].set(nxt)
+
+    if num_samples > 1:
+        _, selected = lax.fori_loop(1, num_samples, body, (dists, selected))
+    return selected
+
+
+def _random_start(key, mask) -> jax.Array:
+    """Uniform random index over valid points (Gumbel-argmax over the mask)."""
+    g = jax.random.gumbel(key, mask.shape)
+    return jnp.argmax(jnp.where(mask, g, _NEG), axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "start_idx", "use_pallas"))
+def farthest_point_sample(
+    pos: jax.Array,
+    mask: jax.Array,
+    num_samples: int,
+    *,
+    key: Optional[jax.Array] = None,
+    start_idx: Optional[int] = None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Batched FPS.
+
+    Args:
+      pos:  (B, N, 3) float32 coordinates.
+      mask: (B, N) bool validity.
+      num_samples: number of centroids k to select per cloud (static).
+      key: PRNG key for random start (one key; split internally per cloud).
+        If None and start_idx is None, starts at the first valid point.
+      start_idx: fixed start index (e.g. 0 to match the offline resampler).
+      use_pallas: route to the fused Pallas TPU kernel (ops/pallas_fps.py).
+
+    Returns:
+      (B, num_samples) int32 indices into the N axis.
+    """
+    b, n, _ = pos.shape
+    if not (0 < num_samples <= n):
+        raise ValueError(f"num_samples={num_samples} out of range for N={n}")
+
+    if start_idx is not None:
+        starts = jnp.full((b,), start_idx, jnp.int32)
+    elif key is not None:
+        starts = jax.vmap(_random_start)(jax.random.split(key, b), mask)
+    else:
+        # first valid point per cloud
+        starts = jnp.argmax(mask, axis=1).astype(jnp.int32)
+
+    if use_pallas:
+        from dl_biomass_tpu.ops.pallas_fps import fps_pallas
+
+        return fps_pallas(pos, mask, num_samples, starts)
+
+    return jax.vmap(lambda p, m, s: _fps_one(p, m, num_samples, s))(pos, mask, starts)

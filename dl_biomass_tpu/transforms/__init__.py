@@ -1,0 +1,15 @@
+from dl_biomass_tpu.transforms.augment import (
+    augment_cloud,
+    augment_batch,
+    point_removal,
+    random_noise,
+    rotate_points,
+)
+
+__all__ = [
+    "augment_cloud",
+    "augment_batch",
+    "point_removal",
+    "random_noise",
+    "rotate_points",
+]

@@ -1,0 +1,121 @@
+"""Model construction / forward-pass tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_biomass_tpu.core.cloud import CloudBatch
+from dl_biomass_tpu.models import PointNet2Regressor
+
+
+def make_batch(b=2, n=256, f=1, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.normal(size=(b, n, 3)).astype(np.float32) * 5
+    feat = rng.normal(size=(b, n, f)).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    mask[0, n - 20:] = False
+    y = rng.normal(size=(b, 4)).astype(np.float32)
+    return CloudBatch(
+        pos=jnp.asarray(pos), feat=jnp.asarray(feat), mask=jnp.asarray(mask), y=jnp.asarray(y)
+    )
+
+
+def init_model(model, batch, train=False):
+    return model.init(
+        {"params": jax.random.key(0), "fps": jax.random.key(1), "dropout": jax.random.key(2)},
+        batch,
+        train=train,
+    )
+
+
+class TestPointNet2Regressor:
+    def test_forward_shape(self):
+        batch = make_batch()
+        model = PointNet2Regressor(num_features=1)
+        variables = init_model(model, batch)
+        out = model.apply(variables, batch, train=False)
+        assert out.shape == (2, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_param_count_near_reference(self):
+        # reference model is ~1.4M params (SURVEY.md §6)
+        batch = make_batch()
+        model = PointNet2Regressor(num_features=1)
+        variables = init_model(model, batch)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+        assert 1_300_000 < n < 1_600_000, n
+
+    def test_neuron_multiplier_zero_equals_one(self):
+        batch = make_batch()
+        v0 = init_model(PointNet2Regressor(num_features=1, neuron_multiplier=0), batch)
+        v1 = init_model(PointNet2Regressor(num_features=1, neuron_multiplier=1), batch)
+        s0 = jax.tree.map(lambda p: p.shape, v0["params"])
+        s1 = jax.tree.map(lambda p: p.shape, v1["params"])
+        assert s0 == s1
+
+    def test_neuron_multiplier_scales_widths(self):
+        batch = make_batch()
+        v2 = init_model(PointNet2Regressor(num_features=1, neuron_multiplier=2), batch)
+        k = v2["params"]["sa1"]["mlp"]["lin0"]["kernel"]
+        assert k.shape == (4, 128)  # 64 * 2
+
+    def test_activation_variants(self):
+        batch = make_batch(n=128)
+        for act in ("ReLU", "LeakyReLU", "ELU"):
+            model = PointNet2Regressor(num_features=1, activation_function=act)
+            out = model.apply(init_model(model, batch), batch, train=False)
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_train_mode_runs_with_dropout_and_bn(self):
+        batch = make_batch(n=128)
+        model = PointNet2Regressor(num_features=1, dropout_probability=0.5)
+        variables = init_model(model, batch, train=True)
+        out, updates = model.apply(
+            variables, batch, train=True,
+            rngs={"fps": jax.random.key(3), "dropout": jax.random.key(4)},
+            mutable=["batch_stats"],
+        )
+        assert out.shape == (2, 4)
+        assert "batch_stats" in updates
+        # running stats moved off their init values
+        bs0 = variables["batch_stats"]["sa1"]["mlp"]["bn0"]["mean"]
+        bs1 = updates["batch_stats"]["sa1"]["mlp"]["bn0"]["mean"]
+        assert not np.allclose(np.asarray(bs0), np.asarray(bs1))
+
+    def test_padding_invariance_eval(self):
+        """Extra pad slots must not change eval predictions (deterministic fps)."""
+        b, n, f = 1, 128, 1
+        rng = np.random.default_rng(3)
+        pos = rng.normal(size=(b, n, 3)).astype(np.float32)
+        feat = rng.normal(size=(b, n, f)).astype(np.float32)
+        mask = np.ones((b, n), bool)
+        batch1 = CloudBatch(pos=jnp.asarray(pos), feat=jnp.asarray(feat), mask=jnp.asarray(mask))
+        # same cloud with 64 extra garbage pad rows
+        pad = np.full((b, 64, 3), 777.0, np.float32)
+        batch2 = CloudBatch(
+            pos=jnp.concatenate([batch1.pos, jnp.asarray(pad)], axis=1),
+            feat=jnp.concatenate([batch1.feat, jnp.full((b, 64, f), -5.0)], axis=1),
+            mask=jnp.concatenate([batch1.mask, jnp.zeros((b, 64), bool)], axis=1),
+        )
+        model1 = PointNet2Regressor(num_features=1, sa1_ratio=0.25, sa2_ratio=0.25)
+        # static centroid counts must match across paddings for comparability:
+        # n=128 -> m1=32; n=192 -> use ratio 32/192
+        model2 = PointNet2Regressor(num_features=1, sa1_ratio=32 / 192, sa2_ratio=0.25)
+        variables = model1.init({"params": jax.random.key(0)}, batch1, train=False)
+        out1 = model1.apply(variables, batch1, train=False)
+        out2 = model2.apply(variables, batch2, train=False)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-4)
+
+    def test_msg_and_doubled_radius_variants(self):
+        batch = make_batch(n=128)
+        for kw in (dict(msg=True), dict(doubled_radius=True)):
+            model = PointNet2Regressor(num_features=1, **kw)
+            out = model.apply(init_model(model, batch), batch, train=False)
+            assert out.shape == (2, 4)
+
+    def test_no_features_uses_coords(self):
+        batch = make_batch(n=128, f=1)
+        batch = CloudBatch(pos=batch.pos, feat=jnp.zeros((2, 128, 0)), mask=batch.mask, y=batch.y)
+        model = PointNet2Regressor(num_features=0)
+        out = model.apply(init_model(model, batch), batch, train=False)
+        assert out.shape == (2, 4)

@@ -1,0 +1,135 @@
+"""Training-loop tests: loss parity, optimizer semantics, early stopping, e2e fit."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+from dl_biomass_tpu.io.device_data import DeviceDataset
+from dl_biomass_tpu.io.synthetic import synthetic_dataset
+from dl_biomass_tpu.models import PointNet2Regressor
+from dl_biomass_tpu.train import weighted_component_mse
+from dl_biomass_tpu.train.trainer import EarlyStopping, Trainer, make_optimizer
+
+
+class TestLoss:
+    def test_weights_match_reference(self):
+        # hand-computed: per-component MSE weighted by 1/11, 1/12, 1/5, 1/72
+        pred = jnp.asarray([[1.0, 2.0, 3.0, 4.0], [0.0, 0.0, 0.0, 0.0]])
+        y = jnp.asarray([[0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]])
+        want = (1 / 2) * (1 / 11) + (4 / 2) * (1 / 12) + (9 / 2) * (1 / 5) + (16 / 2) * (1 / 72)
+        got = float(weighted_component_mse(pred, y))
+        assert abs(got - want) < 1e-6
+
+    def test_sample_weights_exclude_pad_clouds(self):
+        pred = jnp.asarray([[1.0, 1.0, 1.0, 1.0], [99.0, 99.0, 99.0, 99.0]])
+        y = jnp.zeros((2, 4))
+        w = jnp.asarray([1.0, 0.0])
+        got = float(weighted_component_mse(pred, y, w))
+        want = 1.0 * (1 / 11 + 1 / 12 + 1 / 5 + 1 / 72)
+        assert abs(got - want) < 1e-5
+
+
+class TestEarlyStopping:
+    def test_reference_trigger_semantics(self):
+        # mirrors main.py:226-235: trigger on every rise above the last accepted
+        # (non-increasing) value; reset on any non-rise.
+        es = EarlyStopping(patience=2)
+        assert not es.update(5.0)  # accepted
+        assert not es.update(6.0)  # trigger 1
+        assert not es.update(4.0)  # reset + accepted
+        assert not es.update(4.5)  # trigger 1
+        assert es.update(4.6)      # trigger 2 -> stop
+
+    def test_disabled(self):
+        es = EarlyStopping(patience=1, enabled=False)
+        assert not es.update(1.0)
+        assert not es.update(2.0)
+
+    def test_plateau_does_not_trigger(self):
+        es = EarlyStopping(patience=1)
+        assert not es.update(3.0)
+        assert not es.update(3.0)  # equal -> reset branch
+        assert not es.update(3.0)
+
+
+class TestOptimizer:
+    def test_adam_l2_semantics(self):
+        """torch Adam weight_decay folds wd*p into the gradient pre-moments."""
+        hp = HyperParams(lr=0.1, weight_decay=0.5, optimizer="Adam")
+        tx = make_optimizer(hp)
+        p = {"w": jnp.asarray([2.0])}
+        g = {"w": jnp.asarray([0.0])}  # pure decay: effective grad = 0.5*2 = 1
+        s = tx.init(p)
+        upd, _ = tx.update(g, s, p)
+        # adam step with m=0.1*1/0.1bias-corr... just check direction & nonzero
+        assert float(upd["w"][0]) < 0
+
+    def test_adamw_decoupled(self):
+        hp = HyperParams(lr=0.1, weight_decay=0.5, optimizer="AdamW")
+        tx = make_optimizer(hp)
+        p = {"w": jnp.asarray([2.0])}
+        g = {"w": jnp.asarray([0.0])}
+        upd, _ = tx.update(g, tx.init(p), p)
+        # zero grad -> pure decoupled decay: update = -lr * wd * p = -0.1
+        np.testing.assert_allclose(float(upd["w"][0]), -0.1, rtol=1e-5)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            make_optimizer(HyperParams(optimizer="SGD"))
+
+
+def small_setup(n=128, plots=12, batch=4):
+    pos, feat, y, ids = synthetic_dataset(plots, n, seed=0)
+    ds = DeviceDataset.from_clouds(pos, feat, y, ids, base_n=n)
+    cfg = TrainConfig(hp=HyperParams(batch_size=batch, num_augs=1, patience=3, lr=3e-3))
+    model = PointNet2Regressor(num_features=1)
+    trainer = Trainer(model, cfg)
+    return ds, cfg, trainer
+
+
+class TestEndToEnd:
+    def test_fit_loss_decreases(self, tmp_path):
+        ds, cfg, trainer = small_setup()
+        key = jax.random.key(0)
+        example = next(ds.batches(cfg.hp.batch_size))
+        state = trainer.init_state(key, example)
+        hist = trainer.fit(
+            state,
+            train_batches_fn=lambda k: ds.batches(cfg.hp.batch_size, key=k, num_augs=1, shuffle=True),
+            val_batches_fn=lambda: ds.batches(cfg.hp.batch_size),
+            key=key,
+            num_epochs=4,
+            csv_path=str(tmp_path / "log.csv"),
+            log_fn=lambda s: None,
+        )
+        assert len(hist["train_mse"]) == 4
+        assert np.isfinite(hist["train_mse"]).all()
+        assert hist["train_mse"][-1] < hist["train_mse"][0]
+        # CSV written in the reference's format: "epoch, train, val"
+        lines = (tmp_path / "log.csv").read_text().strip().splitlines()
+        assert len(lines) == 4
+        assert lines[0].startswith("0, ")
+
+    def test_partial_final_batch_is_padded_not_dropped(self):
+        ds, cfg, trainer = small_setup(plots=10, batch=4)  # 10 % 4 != 0
+        batches = list(ds.batches(4))
+        assert len(batches) == 3
+        assert all(b.batch_size == 4 for b in batches)
+        # last batch has 2 pad clouds with empty masks
+        last_valid = np.asarray(jnp.any(batches[-1].mask, axis=1))
+        np.testing.assert_array_equal(last_valid, [True, True, False, False])
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from dl_biomass_tpu.train.checkpoint import restore_latest, save_checkpoint
+
+        ds, cfg, trainer = small_setup()
+        example = next(ds.batches(cfg.hp.batch_size))
+        state = trainer.init_state(jax.random.key(0), example)
+        save_checkpoint(str(tmp_path / "ckpt"), state, epoch=3, val_mse=1.5)
+        restored, meta = restore_latest(str(tmp_path / "ckpt"), state)
+        assert meta["epoch"] == 3 and meta["val_mse"] == 1.5
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
