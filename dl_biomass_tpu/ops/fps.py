@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_NEG = jnp.float32(-jnp.inf)
+# plain float, not a jnp scalar: creating a jax array at import time would
+# initialize the backend before callers can configure platform/mesh flags
+_NEG = -jnp.inf
 
 
 def _fps_one(pos, mask, num_samples: int, start: jax.Array) -> jax.Array:

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend via
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env var —
+# override it back at config level so tests really run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # Compiles are shipped to a remote service in this environment (~30s round trip);
 # a persistent on-disk cache makes repeat test runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
