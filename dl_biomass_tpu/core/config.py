@@ -47,6 +47,7 @@ class ModelConfig:
     # multi-scale grouping variant (BASELINE.json configs[2])
     msg: bool = False
     compute_dtype: str = "float32"  # float32 | bfloat16 for matmul inputs
+    use_pallas: str = "auto"  # auto (on for TPU) | on | off — fused kernels
 
 
 @dataclass

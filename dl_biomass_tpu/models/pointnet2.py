@@ -170,9 +170,40 @@ class PointNet2Regressor(nn.Module):
         return out
 
 
+def model_to_dict(model: PointNet2Regressor) -> dict:
+    """JSON-serializable constructor args (for checkpoint sidecar metadata)."""
+    return dict(
+        num_features=model.num_features,
+        activation_function=model.activation_function,
+        neuron_multiplier=model.neuron_multiplier,
+        dropout_probability=model.dropout_probability,
+        sa1_ratio=model.sa1_ratio,
+        sa1_radius=model.sa1_radius,
+        sa2_ratio=model.sa2_ratio,
+        sa2_radius=model.sa2_radius,
+        max_neighbors=model.max_neighbors,
+        doubled_radius=model.doubled_radius,
+        msg=model.msg,
+        num_outputs=model.num_outputs,
+        compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
+        use_pallas=model.use_pallas,
+    )
+
+
+def model_from_dict(d: dict) -> PointNet2Regressor:
+    d = dict(d)
+    d["compute_dtype"] = jnp.bfloat16 if d.get("compute_dtype") == "bfloat16" else jnp.float32
+    return PointNet2Regressor(**d)
+
+
 def build_model(cfg, num_features: int) -> PointNet2Regressor:
     """Construct the regressor from a TrainConfig-style pair (hp + model cfg)."""
     hp, mc = cfg.hp, cfg.model
+    up = getattr(mc, "use_pallas", "auto")
+    if up == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = up in (True, "on", "true", "1")
     return PointNet2Regressor(
         num_features=num_features,
         activation_function=hp.activation_function,
@@ -186,4 +217,5 @@ def build_model(cfg, num_features: int) -> PointNet2Regressor:
         doubled_radius=mc.doubled_radius,
         msg=mc.msg,
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
+        use_pallas=use_pallas,
     )

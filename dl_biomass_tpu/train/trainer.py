@@ -222,6 +222,16 @@ class Trainer:
         best_state = state
         stopped_early = False
 
+        if checkpoint_dir:
+            # sidecar metadata so eval can rebuild the exact model later
+            import json
+
+            from dl_biomass_tpu.models.pointnet2 import model_to_dict
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(os.path.join(checkpoint_dir, "model_config.json"), "w") as f:
+                json.dump({"model": model_to_dict(self.model), "train": cfg.to_dict()}, f, indent=2)
+
         for epoch in range(num_epochs):
             t0 = time.perf_counter()
             ep_key = jax.random.fold_in(key, epoch)

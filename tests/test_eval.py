@@ -1,0 +1,76 @@
+"""Eval metrics / results-frame / figure tests."""
+
+import numpy as np
+import pytest
+
+from dl_biomass_tpu.eval.metrics import build_results_frame, mape, metrics_table, r2_score, rmse
+
+
+@pytest.fixture
+def obs_pred(rng):
+    obs = rng.uniform(10, 200, size=(40, 4))
+    pred = obs + rng.normal(0, 5, size=(40, 4))
+    ids = [f"{src}_{i:03d}" for i, src in enumerate(["BC", "RM", "PF", "XX"] * 10)]
+    return obs, pred, ids
+
+
+class TestMetrics:
+    def test_r2_rmse_mape_match_sklearn(self, rng):
+        import sklearn.metrics as skm
+
+        o = rng.uniform(1, 100, 50)
+        p = o + rng.normal(0, 10, 50)
+        assert abs(r2_score(o, p) - skm.r2_score(o, p)) < 1e-9
+        assert abs(rmse(o, p) - np.sqrt(skm.mean_squared_error(o, p))) < 1e-9
+        assert abs(mape(o, p) - skm.mean_absolute_percentage_error(o, p)) < 1e-9
+
+    def test_perfect_prediction(self):
+        o = np.asarray([1.0, 2.0, 3.0])
+        assert r2_score(o, o) == 1.0
+        assert rmse(o, o) == 0.0
+        assert mape(o, o) == 0.0
+
+
+class TestResultsFrame:
+    def test_columns_and_totals(self, obs_pred):
+        obs, pred, ids = obs_pred
+        df = build_results_frame(obs, pred, ids)
+        np.testing.assert_allclose(
+            df["tree_btphr_obs"], obs.sum(axis=1), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            df["tree_btphr_resid"], obs.sum(1) - pred.sum(1), rtol=1e-5
+        )
+        # dataset colouring: BC=red, PF=blue, everything else green
+        assert (df.loc[df["dataset"] == "BC", "colour"] == "red").all()
+        assert (df.loc[df["dataset"] == "PF", "colour"] == "blue").all()
+        assert (df.loc[df["dataset"] == "XX", "colour"] == "green").all()
+
+    def test_metrics_table_rows_and_rounding(self, obs_pred):
+        obs, pred, ids = obs_pred
+        mdf = metrics_table(build_results_frame(obs, pred, ids))
+        assert list(mdf.index) == [
+            "wood_btphr", "bark_btphr", "branch_btphr", "foliage_btphr", "tree_btphr"
+        ]
+        assert mdf.loc["tree_btphr", "r2"] == round(
+            r2_score(obs.sum(1), pred.sum(1)), 2
+        )
+
+
+class TestFigures:
+    def test_figures_written(self, tmp_path, obs_pred):
+        from dl_biomass_tpu.eval.plots import plot_mse_curves, save_all_eval_figures
+
+        obs, pred, ids = obs_pred
+        df = build_results_frame(obs, pred, ids)
+        paths = save_all_eval_figures(df, metrics_table(df), str(tmp_path))
+        assert len(paths) == 4
+        import os
+
+        for p in paths:
+            assert os.path.getsize(p) > 5000  # real PNGs, not stubs
+
+        csv = tmp_path / "log.csv"
+        csv.write_text("0, 5.0, 6.0\n1, 4.0, 4.5\n")
+        plot_mse_curves(str(csv), str(tmp_path / "curve.png"))
+        assert (tmp_path / "curve.png").stat().st_size > 5000

@@ -1,0 +1,136 @@
+"""Sweep tests: study API (pure python) + vmapped trials (jax)."""
+
+import numpy as np
+import pytest
+
+from dl_biomass_tpu.sweep import (
+    GridSampler,
+    MedianPruner,
+    RandomSampler,
+    TPESampler,
+    TrialPruned,
+    TrialState,
+    create_study,
+    load_study,
+)
+
+
+class TestStudyAPI:
+    def test_optimize_and_best_trial(self):
+        study = create_study(direction="minimize", sampler=RandomSampler(0), pruner=None)
+
+        def objective(trial):
+            x = trial.suggest_float("x", -5, 5)
+            return (x - 2.0) ** 2
+
+        study.optimize(objective, n_trials=30)
+        assert len(study.trials) == 30
+        assert abs(study.best_params["x"] - 2.0) < 2.0
+        assert study.best_value < 4.0
+
+    def test_tpe_beats_random_on_quadratic(self):
+        def objective(trial):
+            x = trial.suggest_float("x", 0, 10)
+            y = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+            return (x - 7.0) ** 2 + (np.log10(y) + 3) ** 2
+
+        tpe = create_study(sampler=TPESampler(seed=1, n_startup_trials=8), pruner=None)
+        tpe.optimize(objective, n_trials=60)
+        # TPE should concentrate samples near the optimum after startup
+        late = [t.params["x"] for t in tpe.trials[40:]]
+        assert abs(np.median(late) - 7.0) < 2.5
+        assert tpe.best_value < 0.5
+
+    def test_suggest_int_and_categorical(self):
+        study = create_study(sampler=RandomSampler(3), pruner=None)
+
+        def objective(trial):
+            b = trial.suggest_int("batch_size", 8, 40, step=4)
+            act = trial.suggest_categorical("act", ["ReLU", "ELU"])
+            assert b % 4 == 0 and 8 <= b <= 40
+            assert act in ("ReLU", "ELU")
+            return float(b)
+
+        study.optimize(objective, n_trials=20)
+        assert study.best_value == min(t.value for t in study.trials)
+
+    def test_pruning(self):
+        study = create_study(sampler=RandomSampler(0),
+                             pruner=MedianPruner(n_startup_trials=2))
+        calls = {"pruned": 0}
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0, 1)
+            for step in range(10):
+                trial.report(x * 10 + step * 0.01, step)
+                if trial.should_prune():
+                    calls["pruned"] += 1
+                    raise TrialPruned()
+            return x * 10
+
+        study.optimize(objective, n_trials=20)
+        pruned = study.get_trials(states=[TrialState.PRUNED])
+        assert len(pruned) == calls["pruned"] > 0
+        # pruned trials never beat the best completed one
+        assert study.best_trial.state == TrialState.COMPLETE
+
+    def test_persistence_roundtrip(self, tmp_path):
+        study = create_study(sampler=RandomSampler(0), pruner=None, study_name="s1")
+        study.optimize(lambda t: t.suggest_float("x", 0, 1) ** 2, n_trials=5)
+        p = str(tmp_path / "study.json")
+        study.save(p)
+        loaded = load_study(p)
+        assert loaded.study_name == "s1"
+        assert len(loaded.trials) == 5
+        assert loaded.best_value == study.best_value
+        assert loaded.best_params == study.best_params
+
+    def test_trials_dataframe_and_importances(self):
+        study = create_study(sampler=RandomSampler(0), pruner=None)
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0, 1)
+            noise = trial.suggest_float("noise", 0, 1)
+            return x * 100 + noise * 0.001
+
+        study.optimize(objective, n_trials=25)
+        df = study.trials_dataframe()
+        assert set(df.columns) >= {"number", "value", "state", "params_x", "params_noise"}
+        imp = study.get_param_importances()
+        assert imp["x"] > imp["noise"]  # x dominates the objective
+
+    def test_grid_sampler(self):
+        grid = GridSampler({"lr": [0.1, 0.2], "wd": [1e-4, 1e-3]})
+        study = create_study(sampler=grid, pruner=None)
+
+        def objective(trial):
+            lr = trial.suggest_float("lr", 0.0, 1.0)
+            wd = trial.suggest_float("wd", 0.0, 1.0)
+            return lr + wd
+
+        study.optimize(objective, n_trials=4)
+        seen = {(t.params["lr"], t.params["wd"]) for t in study.trials}
+        assert seen == {(0.1, 1e-4), (0.1, 1e-3), (0.2, 1e-4), (0.2, 1e-3)}
+
+
+class TestVmappedSweep:
+    def test_parallel_trials_differ_and_learn(self):
+        import jax
+
+        from dl_biomass_tpu.io.device_data import DeviceDataset
+        from dl_biomass_tpu.io.synthetic import synthetic_dataset
+        from dl_biomass_tpu.models import PointNet2Regressor
+        from dl_biomass_tpu.sweep.vmapped import VmappedSweep
+
+        pos, feat, y, ids = synthetic_dataset(8, 128, seed=0)
+        ds = DeviceDataset.from_clouds(pos, feat, y, ids, base_n=128)
+        model = PointNet2Regressor(num_features=1)
+        sweep = VmappedSweep(
+            model, lrs=[3e-3, 1e-8], wds=[1e-5, 1e-5], patience=5
+        )
+        results = sweep.run(ds, ds, key=jax.random.key(0), batch_size=4, num_epochs=3,
+                            log_fn=lambda s: None)
+        assert len(results) == 2
+        # the real-lr trial must beat the dead-lr trial on synthetic data
+        assert results[0].best_val_mse < results[1].best_val_mse
+        assert all(np.isfinite(r.best_val_mse) for r in results)
