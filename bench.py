@@ -55,23 +55,25 @@ def main() -> None:
 
     key = jax.random.key(1)
 
-    # warmup / compile
+    # warmup / compile. NOTE: on this backend block_until_ready returns before
+    # execution finishes (async-dispatch artifact) — only a host transfer truly
+    # synchronizes, so every timing boundary pulls a scalar to host.
     state, loss = trainer._train_step(state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):
         state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    float(loss)  # all steps chain through `state`; reading the last syncs all
     train_dt = (time.perf_counter() - t0) / TIMED_STEPS
     train_cps = B / train_dt
 
-    # inference
+    # inference (steps are independent — sync each to avoid overlap credit)
     loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
-    jax.block_until_ready(out)
+    float(loss)
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
+    for i in range(TIMED_STEPS):
         loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
-    jax.block_until_ready(out)
+        float(loss)
     infer_dt = (time.perf_counter() - t0) / TIMED_STEPS
     infer_cps = B / infer_dt
 

