@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dl_biomass_tpu.core.cloud import round_up
 
-_B_BLK = 8  # f32 sublane width
+_B_BLK = 8  # f32 sublane width (minimum batch tile)
+_B_BLK_MAX = 32  # widest batch tile: amortizes the sequential k-loop across
+# clouds (each grid step runs the full loop; fewer steps = less serialization).
+# VMEM at 32 rows x 100k pts x 5 planes f32 = ~64 MB exceeds budget, so the
+# wrapper scales the tile down for very large N.
 
 
 def _fps_kernel(px_ref, py_ref, pz_ref, valid_ref, start_ref, out_ref):
@@ -93,7 +97,11 @@ def fps_pallas(
         interpret = jax.default_backend() != "tpu"
 
     n_pad = round_up(n, 128)
-    b_pad = round_up(b, _B_BLK)
+    # pick the widest batch tile that fits ~8MB of VMEM for the 5 (blk, N) planes
+    blk = _B_BLK
+    while blk < _B_BLK_MAX and blk < round_up(b, _B_BLK) and 5 * 2 * blk * n_pad * 4 <= 8 * 2**20:
+        blk *= 2
+    b_pad = round_up(b, blk)
     planes = []
     for c in range(3):
         p = pos[..., c]
@@ -103,19 +111,19 @@ def fps_pallas(
     # pad rows are fully invalid; give them start 0 (their outputs are dropped)
     starts_p = jnp.pad(starts.astype(jnp.int32), (0, b_pad - b))[:, None]
 
-    grid = (b_pad // _B_BLK,)
-    blk = lambda i: (i, 0)
+    grid = (b_pad // blk,)
+    imap = lambda i: (i, 0)
     out = pl.pallas_call(
         _fps_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_B_BLK, n_pad), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_B_BLK, n_pad), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_B_BLK, n_pad), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_B_BLK, n_pad), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_B_BLK, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n_pad), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n_pad), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n_pad), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n_pad), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), imap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_B_BLK, num_samples), blk, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((blk, num_samples), imap, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, num_samples), jnp.int32),
         interpret=interpret,
     )(planes[0], planes[1], planes[2], valid, starts_p)

@@ -3,8 +3,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from dl_biomass_tpu.ops import farthest_point_sample
+from dl_biomass_tpu.ops import ball_query, farthest_point_sample
+from dl_biomass_tpu.ops.pallas_ballquery import ball_query_pallas
 from dl_biomass_tpu.ops.pallas_fps import fps_pallas
 
 
@@ -49,3 +51,33 @@ class TestFPSPallas:
         a = np.asarray(farthest_point_sample(pos, mask, 16, start_idx=0, use_pallas=True))
         b = np.asarray(farthest_point_sample(pos, mask, 16, start_idx=0))
         np.testing.assert_array_equal(a, b)
+
+
+class TestBallQueryPallas:
+    @pytest.mark.parametrize("r,k", [(2.0, 8), (4.0, 16), (1.0, 64)])
+    def test_matches_exact_jnp(self, rng, r, k):
+        pos, mask = clouds(rng, b=2, n=512, n_valid=[512, 400])
+        centers = pos[:, :40]
+        cmask = jnp.asarray(np.arange(40)[None, :] < np.asarray([40, 30])[:, None])
+        gi, gm = ball_query_pallas(centers, cmask, pos, mask, radius=r, k=k, interpret=True)
+        wi, wm = ball_query(centers, cmask, pos, mask, radius=r, k=k, method="exact")
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(wm))
+        gm_ = np.asarray(gm)
+        np.testing.assert_array_equal(np.asarray(gi)[gm_], np.asarray(wi)[gm_])
+
+    def test_unaligned_m_and_n(self, rng):
+        pos, mask = clouds(rng, b=1, n=300)  # N not multiple of 128
+        centers = pos[:, :37]  # M not multiple of 8
+        cmask = mask[:, :37]
+        gi, gm = ball_query_pallas(centers, cmask, pos, mask, radius=2.0, k=8, interpret=True)
+        wi, wm = ball_query(centers, cmask, pos, mask, radius=2.0, k=8, method="exact")
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(wm))
+        gm_ = np.asarray(gm)
+        np.testing.assert_array_equal(np.asarray(gi)[gm_], np.asarray(wi)[gm_])
+
+    def test_pad_points_never_returned(self, rng):
+        pos, mask = clouds(rng, b=1, n=256, n_valid=[100])
+        gi, gm = ball_query_pallas(pos[:, :16], mask[:, :16], pos, mask,
+                                   radius=50.0, k=64, interpret=True)
+        gi, gm = np.asarray(gi), np.asarray(gm)
+        assert (gi[gm] < 100).all()
