@@ -48,6 +48,7 @@ class ModelConfig:
     msg: bool = False
     compute_dtype: str = "float32"  # float32 | bfloat16 for matmul inputs
     use_pallas: str = "auto"  # auto (on for TPU) | on | off — fused kernels
+    remat: bool = False  # rematerialize edge MLPs in backward (memory for FLOPs)
 
 
 @dataclass

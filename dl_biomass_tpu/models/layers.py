@@ -91,16 +91,19 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            flat = x.reshape(-1, c).astype(jnp.float32)
+            # reduce over all leading axes in place — a reshape(-1, c) here
+            # materializes a flat copy of the (huge) edge tensor in HBM
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
             if mask is not None:
-                m = mask.reshape(-1, 1).astype(jnp.float32)
+                m = jnp.expand_dims(mask, -1).astype(jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(flat * m, axis=0) / cnt
-                var = jnp.sum(jnp.square(flat - mean) * m, axis=0) / cnt
+                mean = jnp.sum(xf * m, axis=axes) / cnt
+                var = jnp.sum(jnp.square(xf - mean) * m, axis=axes) / cnt
             else:
-                cnt = jnp.float32(flat.shape[0])
-                mean = jnp.mean(flat, axis=0)
-                var = jnp.var(flat, axis=0)
+                cnt = jnp.float32(np.prod(x.shape[:-1]))
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -120,7 +123,8 @@ class MLP(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, *, train: bool):
+    def __call__(self, x, mask=None, train: bool = False):
+        # ``train`` is positional-friendly so nn.remat can mark it static
         act = resolve_activation(self.act)
         chans = list(self.channels)
         for i, width in enumerate(chans[1:-1]):

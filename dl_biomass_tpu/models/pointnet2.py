@@ -53,6 +53,9 @@ class SAModule(nn.Module):
     extra_radii: Sequence[float] = ()  # MSG: extra scales, features concatenated
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False  # rematerialize the edge MLP in backward: the saved
+    # (B, M, K, C) residuals dominate training memory (they OOM B>=128 at 10k
+    # pts); recompute trades ~30% extra FLOPs for ~4x batch headroom
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
@@ -68,17 +71,19 @@ class SAModule(nn.Module):
         centers = gather_points(pos, idx)
         center_mask = jnp.take_along_axis(mask, idx, axis=1)
 
+        mlp_cls = nn.remat(MLP, static_argnums=(3,)) if self.remat else MLP
+
         def one_scale(r: float, scale_i: int):
             nbr_idx, nbr_mask = ball_query(
                 centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
             )
             grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
-            h = MLP(
+            h = mlp_cls(
                 self.mlp_channels,
                 act=self.act,
                 compute_dtype=self.compute_dtype,
                 name=f"mlp{scale_i}" if scale_i else "mlp",
-            )(grouped, nbr_mask, train=train)
+            )(grouped, nbr_mask, train)
             return masked_max(h, nbr_mask, axis=2)  # (B, M, C)
 
         out = one_scale(self.radius, 0)
@@ -123,7 +128,11 @@ class PointNet2Regressor(nn.Module):
     max_neighbors: int = 64
     doubled_radius: bool = False
     msg: bool = False
+    remat: bool = False
     num_outputs: int = 4
+    # historical scalar-output variant (Misc/pn2_regressor_V2.py:42-44): the
+    # global SA output and the head's hidden widths are doubled
+    global_width_mult: int = 1
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
@@ -139,6 +148,7 @@ class PointNet2Regressor(nn.Module):
             max_neighbors=self.max_neighbors,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         msg1 = (r1 * 2,) if self.msg else ()
         msg2 = (r2 * 2,) if self.msg else ()
@@ -158,16 +168,28 @@ class PointNet2Regressor(nn.Module):
             self.sa2_ratio, r2, [128 * nm * sa_mult + 3, 128 * nm, 128 * nm, 256 * nm],
             extra_radii=msg2, name="sa2", **common,
         )(h, pos, mask, train=train)
+        gw = self.global_width_mult
         h = GlobalSAModule(
-            [256 * nm * sa_mult + 3, 256 * nm, 512 * nm, 1024 * nm],
+            [256 * nm * sa_mult + 3, 256 * nm, 512 * nm, 1024 * nm * gw],
             act=act, compute_dtype=self.compute_dtype, name="sa3",
         )(h, pos, mask, train=train)
         out = MLP(
-            [1024 * nm, 128 * nm, 128 * nm, self.num_outputs],
+            [1024 * nm * gw, 128 * nm * gw, 128 * nm * gw, self.num_outputs],
             act=None, dropout=self.dropout_probability,
             compute_dtype=self.compute_dtype, name="head",
         )(h, train=train)
         return out
+
+
+def pointnet2_v2(num_features: int, activation_function: str = "ReLU") -> PointNet2Regressor:
+    """The reference's historical V2 variant: scalar biomass output with a
+    doubled global/head width (``Misc/pn2_regressor_V2.py:35-53``)."""
+    return PointNet2Regressor(
+        num_features=num_features,
+        activation_function=activation_function,
+        num_outputs=1,
+        global_width_mult=2,
+    )
 
 
 def model_to_dict(model: PointNet2Regressor) -> dict:
@@ -184,7 +206,9 @@ def model_to_dict(model: PointNet2Regressor) -> dict:
         max_neighbors=model.max_neighbors,
         doubled_radius=model.doubled_radius,
         msg=model.msg,
+        remat=model.remat,
         num_outputs=model.num_outputs,
+        global_width_mult=model.global_width_mult,
         compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
         use_pallas=model.use_pallas,
     )
@@ -216,6 +240,7 @@ def build_model(cfg, num_features: int) -> PointNet2Regressor:
         max_neighbors=mc.max_neighbors,
         doubled_radius=mc.doubled_radius,
         msg=mc.msg,
+        remat=getattr(mc, "remat", False),
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
     )

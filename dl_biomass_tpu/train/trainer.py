@@ -205,6 +205,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         metric_writer=None,
+        resume: bool = False,
     ) -> Dict[str, Any]:
         """Full training run with early stopping + save-on-best.
 
@@ -221,6 +222,21 @@ class Trainer:
         best_val = np.inf
         best_state = state
         stopped_early = False
+        start_epoch = 0
+
+        if resume and checkpoint_dir:
+            # real mid-run resume (params + opt state + epoch counter) — the
+            # reference pickles only the module and can never continue a run
+            from dl_biomass_tpu.train.checkpoint import restore_latest
+
+            restored, meta = restore_latest(checkpoint_dir, state)
+            if restored is not None:
+                state = restored
+                best_state = restored
+                start_epoch = int(meta["epoch"]) + 1 if meta else 0
+                best_val = float(meta["val_mse"]) if meta else np.inf
+                stopper.last_val = best_val
+                log_fn(f"Resuming from epoch {start_epoch} (best val MSE {best_val:.4f})")
 
         if checkpoint_dir:
             # sidecar metadata so eval can rebuild the exact model later
@@ -232,7 +248,7 @@ class Trainer:
             with open(os.path.join(checkpoint_dir, "model_config.json"), "w") as f:
                 json.dump({"model": model_to_dict(self.model), "train": cfg.to_dict()}, f, indent=2)
 
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             ep_key = jax.random.fold_in(key, epoch)
             state, train_mse, n_clouds = self.train_epoch(state, train_batches_fn(ep_key), ep_key)

@@ -122,6 +122,24 @@ class TestEndToEnd:
         last_valid = np.asarray(jnp.any(batches[-1].mask, axis=1))
         np.testing.assert_array_equal(last_valid, [True, True, False, False])
 
+    def test_fit_resume_continues_from_epoch(self, tmp_path):
+        ds, cfg, trainer = small_setup()
+        key = jax.random.key(0)
+        example = next(ds.batches(cfg.hp.batch_size))
+        state = trainer.init_state(key, example)
+        kwargs = dict(
+            train_batches_fn=lambda k: ds.batches(cfg.hp.batch_size, key=k, shuffle=True),
+            val_batches_fn=lambda: ds.batches(cfg.hp.batch_size),
+            key=key,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            log_fn=lambda s: None,
+        )
+        trainer.fit(state, num_epochs=2, **kwargs)
+        # resume: should skip epochs 0-1 and run only 2-3
+        state2 = trainer.init_state(key, example)
+        hist = trainer.fit(state2, num_epochs=4, resume=True, **kwargs)
+        assert hist["epoch"] == [2, 3]
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from dl_biomass_tpu.train.checkpoint import restore_latest, save_checkpoint
 
