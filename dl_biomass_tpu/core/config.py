@@ -49,6 +49,8 @@ class ModelConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16 for matmul inputs
     use_pallas: str = "auto"  # auto (on for TPU) | on | off — fused kernels
     remat: bool = False  # rematerialize edge MLPs in backward (memory for FLOPs)
+    fast_group: bool = True  # fused stratified SA1 grouping kernel (TPU only;
+    # statistically equivalent stratified ball sampling — see ops/pallas_group.py)
 
 
 @dataclass

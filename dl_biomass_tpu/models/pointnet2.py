@@ -56,6 +56,10 @@ class SAModule(nn.Module):
     remat: bool = False  # rematerialize the edge MLP in backward: the saved
     # (B, M, K, C) residuals dominate training memory (they OOM B>=128 at 10k
     # pts); recompute trades ~30% extra FLOPs for ~4x batch headroom
+    fast_group: bool = False  # fused stratified ball-query+gather kernel
+    # (ops/pallas_group.py). ONLY valid when this layer's inputs carry no
+    # gradient (the first SA layer: pos/feat come straight from data) — the
+    # kernel has no VJP and its outputs are stop-gradient'ed.
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
@@ -72,12 +76,26 @@ class SAModule(nn.Module):
         center_mask = jnp.take_along_axis(mask, idx, axis=1)
 
         mlp_cls = nn.remat(MLP, static_argnums=(3,)) if self.remat else MLP
+        use_fused = (
+            self.fast_group
+            and self.use_pallas
+            and self.max_neighbors == 64
+            and (feat is None or feat.shape[-1] <= 4)
+        )
 
         def one_scale(r: float, scale_i: int):
-            nbr_idx, nbr_mask = ball_query(
-                centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
-            )
-            grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
+            if use_fused:
+                from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
+
+                _, nbr_mask, rel, gfeat = ball_group_pallas(
+                    centers, center_mask, pos, mask, feat, radius=r
+                )
+                grouped = jax.lax.stop_gradient(jnp.concatenate([gfeat, rel], axis=-1))
+            else:
+                nbr_idx, nbr_mask = ball_query(
+                    centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
+                )
+                grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
             h = mlp_cls(
                 self.mlp_channels,
                 act=self.act,
@@ -129,6 +147,7 @@ class PointNet2Regressor(nn.Module):
     doubled_radius: bool = False
     msg: bool = False
     remat: bool = False
+    fast_group: bool = False  # fused SA1 grouping kernel (stratified selection)
     num_outputs: int = 4
     # historical scalar-output variant (Misc/pn2_regressor_V2.py:42-44): the
     # global SA output and the head's hidden widths are doubled
@@ -162,7 +181,11 @@ class PointNet2Regressor(nn.Module):
 
         h, pos, mask = SAModule(
             self.sa1_ratio, r1, [3 + f, 64 * nm, 64 * nm, 128 * nm],
-            extra_radii=msg1, name="sa1", **common,
+            extra_radii=msg1, name="sa1",
+            # SA1's pos/feat come straight from the batch (no parameters
+            # upstream), so the no-VJP fused grouping kernel is safe here
+            fast_group=self.fast_group,
+            **common,
         )(feat, pos, mask, train=train)
         h, pos, mask = SAModule(
             self.sa2_ratio, r2, [128 * nm * sa_mult + 3, 128 * nm, 128 * nm, 256 * nm],
@@ -207,6 +230,7 @@ def model_to_dict(model: PointNet2Regressor) -> dict:
         doubled_radius=model.doubled_radius,
         msg=model.msg,
         remat=model.remat,
+        fast_group=model.fast_group,
         num_outputs=model.num_outputs,
         global_width_mult=model.global_width_mult,
         compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
@@ -241,6 +265,7 @@ def build_model(cfg, num_features: int) -> PointNet2Regressor:
         doubled_radius=mc.doubled_radius,
         msg=mc.msg,
         remat=getattr(mc, "remat", False),
+        fast_group=getattr(mc, "fast_group", False),
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
     )
