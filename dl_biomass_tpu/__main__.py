@@ -23,13 +23,20 @@ import sys
 from typing import List
 
 
+from dl_biomass_tpu.core.config import TrainConfig as _TC
+
+_TOP_LEVEL_KEYS = {f.name for f in __import__("dataclasses").fields(_TC)}
+
+
 def _split_overrides(argv: List[str], known_flags) -> tuple:
-    """Separate dotted config overrides from the subcommand's own flags."""
+    """Separate config overrides (dotted paths like ``--hp.lr`` or top-level
+    TrainConfig fields like ``--num_epochs``) from the subcommand's own flags."""
     own, overrides = [], []
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--") and "." in a.split("=")[0]:
+        key = a[2:].split("=")[0] if a.startswith("--") else ""
+        if a.startswith("--") and ("." in key or key in _TOP_LEVEL_KEYS):
             if "=" in a:
                 overrides.append(a)
                 i += 1

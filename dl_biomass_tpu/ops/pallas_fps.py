@@ -44,7 +44,10 @@ def _fps_kernel(px_ref, py_ref, pz_ref, valid_ref, start_ref, out_ref):
     b, n = px_ref.shape
     k = out_ref.shape[1]  # out block is (B_blk, k): lane dim == full array dim,
     # which satisfies Mosaic's block-divisibility rule for any k
-    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+    # stacked coordinate planes: one (3, B, N) block so the per-iteration
+    # coordinate extraction is a SINGLE reduction instead of three (reduction
+    # latency, not FLOPs, bounds this loop)
+    pxs = jnp.stack([px_ref[:], py_ref[:], pz_ref[:]])  # (3, B, N)
     valid = valid_ref[:] > 0.5
     neg = jnp.float32(-jnp.inf)
     lane = lax.broadcasted_iota(jnp.int32, (b, n), 1)
@@ -52,32 +55,44 @@ def _fps_kernel(px_ref, py_ref, pz_ref, valid_ref, start_ref, out_ref):
     def pick(idx_col, dists):
         """one-hot extract coords of idx per row; kill its dist."""
         oh = lane == idx_col[:, None]
-        ohf = oh.astype(jnp.float32)
-        lx = jnp.sum(px * ohf, axis=1, keepdims=True)
-        ly = jnp.sum(py * ohf, axis=1, keepdims=True)
-        lz = jnp.sum(pz * ohf, axis=1, keepdims=True)
-        return lx, ly, lz, jnp.where(oh, neg, dists)
+        l = jnp.sum(pxs * oh.astype(jnp.float32)[None], axis=2, keepdims=True)
+        return l, jnp.where(oh, neg, dists)  # l: (3, B, 1)
 
     start = start_ref[:, 0]  # (B,)
     dists = jnp.where(valid, jnp.float32(jnp.inf), neg)
-    lx, ly, lz, dists = pick(start, dists)
+    l, dists = pick(start, dists)
     # Mosaic has no dynamic lane store, so selections accumulate in a carried
     # (B, k) register block (one masked (B, k) pass per iteration — trivial next
     # to the (B, N) distance pass) and store once at the end.
     kcol = lax.broadcasted_iota(jnp.int32, (b, k), 1)
     acc = jnp.where(kcol == 0, start[:, None], 0)
 
-    def body(i, carry):
-        dists, acc, lx, ly, lz = carry
-        dx, dy, dz = px - lx, py - ly, pz - lz
-        d = dx * dx + dy * dy + dz * dz
+    def step(i, dists, acc, l):
+        diff = pxs - l
+        sq = diff * diff
+        d = sq[0] + sq[1] + sq[2]
         dists = jnp.minimum(dists, d)
         nxt = jnp.argmax(dists, axis=1).astype(jnp.int32)
         acc = jnp.where(kcol == i, nxt[:, None], acc)
-        lx, ly, lz, dists = pick(nxt, dists)
-        return dists, acc, lx, ly, lz
+        l, dists = pick(nxt, dists)
+        return dists, acc, l
 
-    _, acc, _, _, _ = lax.fori_loop(1, k, body, (dists, acc, lx, ly, lz), unroll=False)
+    # hand-unroll 4 picks per loop iteration: Mosaic's per-iteration scalar-core
+    # overhead (~us) dominates the ~1us of vector work per FPS step, and its
+    # fori_loop lowering only supports unroll=1 or full unroll
+    u = 4
+    n_main = (k - 1) // u
+
+    def body(j, carry):
+        dists, acc, l = carry
+        base = 1 + j * u
+        for off in range(u):
+            dists, acc, l = step(base + off, dists, acc, l)
+        return dists, acc, l
+
+    dists, acc, l = lax.fori_loop(0, n_main, body, (dists, acc, l), unroll=False)
+    for i in range(1 + n_main * u, k):  # static remainder (< u iterations)
+        dists, acc, l = step(i, dists, acc, l)
     out_ref[:, :] = acc
 
 

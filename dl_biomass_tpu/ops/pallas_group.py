@@ -85,12 +85,16 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int):
         out_idx_ref[0, sl, :] = pair
 
         # capture planes at the selected indices (value-match one-hot: keys are
-        # unique indices, so equality hits exactly the selected point)
+        # unique indices, so equality hits exactly the selected point). All
+        # planes are captured in ONE stacked reduction — reduction issue
+        # latency, not FLOPs, bounds this loop.
         sel128 = jnp.concatenate([pair, pair], axis=1)  # (CM, G)
         hit = (keys == sel128[:, None, :]).astype(jnp.float32)  # (CM, L, G)
-        for pr, outr in zip(plane_refs, out_plane_refs):
-            cap = jnp.sum(hit * pr[0][None], axis=1)  # (CM, G)
-            outr[0, sl, :] = cap[:, :_K] + cap[:, _K:]
+        planes = jnp.stack([pr[0] for pr in plane_refs])  # (P, L, G)
+        cap = jnp.sum(hit[None] * planes[:, None], axis=2)  # (P, CM, G)
+        cap = cap[:, :, :_K] + cap[:, :, _K:]  # (P, CM, K)
+        for pi, outr in enumerate(out_plane_refs):
+            outr[0, sl, :] = cap[pi]
         return 0
 
     lax.fori_loop(0, m // _CM, tile, 0, unroll=False)
