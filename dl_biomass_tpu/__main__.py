@@ -232,6 +232,51 @@ def cmd_sweep(argv):
     df.to_csv(args.study_out.replace(".json", "_trials.csv"), index=False)
 
 
+def cmd_tune(argv):
+    """Sequential TPE study over the reference's search space (the reference's
+    ``hyperparameter_tuning.py`` surface; see ``sweep`` for the vmapped grid)."""
+    p = argparse.ArgumentParser(prog="tune")
+    p.add_argument("--config")
+    p.add_argument("--n-trials", type=int, default=20)
+    p.add_argument("--timeout", type=float, default=None, help="seconds")
+    p.add_argument("--max-epochs", type=int, default=100)
+    p.add_argument("--study-out", default="studies/tune.json")
+    p.add_argument("--continue-study", action="store_true")
+    p.add_argument("--no-pruning", action="store_true")
+    own, overrides = _split_overrides(argv, p)
+    args = p.parse_args(own)
+    cfg = _load_cfg(args, overrides)
+
+    from dl_biomass_tpu.sweep import MedianPruner, TPESampler, create_study, load_study
+    from dl_biomass_tpu.sweep.objective import make_training_objective
+    from dl_biomass_tpu.sweep.study import newest_study
+
+    ds_train, ds_val = _load_train_val(cfg)
+    study = None
+    if args.continue_study:
+        prev = newest_study(os.path.dirname(args.study_out) or ".")
+        if prev:
+            study = load_study(prev, sampler=TPESampler(seed=cfg.seed),
+                               pruner=None if args.no_pruning else MedianPruner())
+            print(f"Continuing study: {prev} ({len(study.trials)} trials)")
+    if study is None:
+        study = create_study(sampler=TPESampler(seed=cfg.seed),
+                             pruner=None if args.no_pruning else MedianPruner(),
+                             study_name="tune")
+    objective = make_training_objective(
+        ds_train, ds_val, base_cfg=cfg, max_num_epochs=args.max_epochs, seed=cfg.seed
+    )
+    study.optimize(objective, n_trials=args.n_trials, timeout=args.timeout)
+    study.save(args.study_out)
+    print("Best trial:")
+    print("  Value: ", study.best_value)
+    for k, v in study.best_params.items():
+        print(f"    {k}: {v}")
+    study.trials_dataframe().to_csv(args.study_out.replace(".json", "_trials.csv"), index=False)
+    imp = study.get_param_importances()
+    print("Param importances:", {k: round(v, 3) for k, v in imp.items()})
+
+
 def cmd_density(argv):
     p = argparse.ArgumentParser(prog="density")
     p.add_argument("--config")
@@ -287,6 +332,7 @@ COMMANDS = {
     "evaluate": cmd_evaluate,
     "resample": cmd_resample,
     "sweep": cmd_sweep,
+    "tune": cmd_tune,
     "density": cmd_density,
     "visualize-aug": cmd_visualize_aug,
 }
