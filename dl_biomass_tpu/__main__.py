@@ -307,6 +307,7 @@ def cmd_density(argv):
     point_density_effect(
         pos_list, feat_list, np.stack(ys), ids,
         point_range=range(lo, hi, step), out_csv=args.out_csv,
+        num_epochs=cfg.num_epochs,
     )
     print(f"wrote {args.out_csv}")
 

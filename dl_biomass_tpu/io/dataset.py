@@ -139,6 +139,33 @@ class PointCloudsInFiles:
         )
 
 
+class AugmentPointCloudsInFiles(PointCloudsInFiles):
+    """Reference API parity (``augmentation.py:125-224``): a raw-LAS dataset
+    whose every access returns a freshly augmented cloud (host-side numpy
+    transforms with the reference's exact distributions).
+
+    The production path augments on device instead (``DeviceDataset.batches``
+    with ``num_augs``); this class exists for API parity, the host pipeline,
+    and as a semantics oracle. Note the reference quirk: this path centers
+    coordinates AFTER subsetting (``augmentation.py:194-195``), unlike
+    PointCloudsInFiles.
+    """
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("center_after_subset", True)
+        super().__init__(*args, **kwargs)
+
+    def get(self, idx, rng):
+        item = super().get(idx, rng)
+        if item is None:
+            return None
+        pos, feat, y, pid = item
+        from dl_biomass_tpu.transforms.numpy_augment import augment
+
+        pos, feat = augment(rng, pos.astype(np.float64), feat.astype(np.float64))
+        return pos.astype(np.float32), feat.astype(np.float32), y, pid
+
+
 class PointCloudsInFilesPreSampled:
     """Pre-resampled dataset: all points of each (fixed-size) cloud, one feature
     column, PlotID suffix stripped."""
@@ -198,3 +225,19 @@ class PointCloudsInFilesPreSampled:
         return DeviceDataset.from_clouds(
             pos_list, feat_list, np.stack(ys), ids, for_augmentation=for_augmentation
         )
+
+
+class AugmentPreSampledPoints(PointCloudsInFilesPreSampled):
+    """Reference API parity (``augmentation.py:226-307``): pre-resampled clouds
+    with the host-side augmentation chain applied on every access."""
+
+    def get(self, idx, rng: Optional[np.random.Generator] = None):
+        item = super().get(idx)
+        if item is None:
+            return None
+        pos, feat, y, pid = item
+        from dl_biomass_tpu.transforms.numpy_augment import augment
+
+        rng = rng or np.random.default_rng()
+        pos, feat = augment(rng, pos.astype(np.float64), feat.astype(np.float64))
+        return pos.astype(np.float32), feat.astype(np.float32), y, pid
