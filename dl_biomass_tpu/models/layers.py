@@ -67,7 +67,10 @@ class Dense(nn.Module):
             kernel.astype(self.compute_dtype),
             preferred_element_type=jnp.float32,
         )
-        return y + bias
+        # return activations in compute_dtype: the edge tensors between layers
+        # are the memory-bound cost of the SA MLPs, and bf16 halves that HBM
+        # traffic (params, accumulation and BN statistics stay f32)
+        return (y + bias).astype(self.compute_dtype)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -109,7 +112,8 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * (inv * gamma) + beta
+        out = (x.astype(jnp.float32) - mean) * (inv * gamma) + beta
+        return out.astype(x.dtype)  # preserve activation dtype (bf16 pipeline)
 
 
 class MLP(nn.Module):

@@ -95,7 +95,27 @@ class SAModule(nn.Module):
                 nbr_idx, nbr_mask = ball_query(
                     centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
                 )
-                grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
+                use_mxu = (
+                    self.use_pallas
+                    and feat is not None
+                    and feat.shape[-1] >= 16  # wide rows: MXU beats XLA gather
+                    and pos.shape[1] <= 4096  # value table must fit VMEM
+                    and self.max_neighbors == 64
+                )
+                if use_mxu:
+                    from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
+
+                    both = jnp.concatenate([feat, pos], axis=-1)  # one gather
+                    g = mxu_gather(both, nbr_idx)
+                    c = feat.shape[-1]
+                    rel = g[..., c:] - centers[:, :, None, :]
+                    grouped = jnp.where(
+                        nbr_mask[..., None],
+                        jnp.concatenate([g[..., :c], rel], axis=-1),
+                        0.0,
+                    )
+                else:
+                    grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
             h = mlp_cls(
                 self.mlp_channels,
                 act=self.act,
@@ -201,7 +221,7 @@ class PointNet2Regressor(nn.Module):
             act=None, dropout=self.dropout_probability,
             compute_dtype=self.compute_dtype, name="head",
         )(h, train=train)
-        return out
+        return out.astype(jnp.float32)  # predictions always f32
 
 
 def pointnet2_v2(num_features: int, activation_function: str = "ReLU") -> PointNet2Regressor:

@@ -1,0 +1,128 @@
+"""MXU one-hot gather with a matching scatter-add backward (Pallas).
+
+SA2's neighborhood gather moves (B, M, K, C=128) feature rows; XLA's gather +
+scatter pair costs ~15 ms/step at flagship scale (the single largest cluster in
+the train-step profile). On TPU a gather of wide rows is better spent on the
+MXU: build a one-hot (CM*K, N) selection block per centroid tile and matmul it
+against the (N, C) value table — and the backward scatter-add is the SAME
+matmul transposed, accumulated across tiles in VMEM.
+
+f32 one-hot matmuls are EXACT gathers (each output row sums exactly one
+product), so this is bit-compatible with take-style gathers.
+
+Scope: N (points) and C (channels) sized for VMEM residency — N*C + N*CM*K
+floats per tile (SA2: 2048x128 values + 2048x512 one-hot ~= 5 MB). The caller
+falls back to the XLA path beyond that.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dl_biomass_tpu.core.cloud import round_up
+
+_CM = 8  # centroids per tile
+_K = 64  # neighbor slots
+
+
+def _fwd_kernel(vals_ref, idx_ref, out_ref):
+    n = vals_ref.shape[1]
+    rows = idx_ref[0, 0, :, :]  # (CM*K, 1) int32
+    gidx = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    onehot = (rows == gidx).astype(jnp.float32)  # (CM*K, N)
+    out_ref[0, 0] = jnp.dot(onehot, vals_ref[0], preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(ct_ref, idx_ref, out_ref):
+    j = pl.program_id(1)
+    n = out_ref.shape[1]
+    rows = idx_ref[0, 0, :, :]  # (CM*K, 1)
+    gcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    onehot_t = (gcol == rows[:, 0][None, :]).astype(jnp.float32)  # (N, CM*K)
+    contrib = jnp.dot(onehot_t, ct_ref[0, 0], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += contrib
+
+
+def _gather_fwd(values, idx_tiles, interpret):
+    b, n_tiles = idx_tiles.shape[:2]
+    n, c = values.shape[1:]
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _CM * _K, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, _CM * _K, c), jnp.float32),
+        interpret=interpret,
+    )(values, idx_tiles)
+
+
+def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
+    b, n_tiles = idx_tiles.shape[:2]
+    c = ct_tiles.shape[-1]
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, _CM * _K, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(ct_tiles, idx_tiles)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def mxu_gather(values: jax.Array, idx: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+    """Differentiable batched row gather: values (B, N, C), idx (B, M, K) ->
+    (B, M, K, C); d/dvalues is an exact scatter-add."""
+    b, n, c = values.shape
+    m, k = idx.shape[1:]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if k != _K:
+        raise ValueError(f"mxu_gather supports K={_K}, got {k}")
+    m_pad = round_up(m, _CM)
+    n_tiles = m_pad // _CM
+    idx_p = jnp.pad(idx, ((0, 0), (0, m_pad - m), (0, 0)), constant_values=0)
+    idx_tiles = idx_p.reshape(b, n_tiles, _CM * _K, 1)
+    c_pad = round_up(c, 128)
+    vals_p = jnp.pad(values.astype(jnp.float32), ((0, 0), (0, 0), (0, c_pad - c)))
+
+    out = _core(vals_p, idx_tiles, n, interpret)
+    out = out.reshape(b, m_pad, _K, c_pad)[:, :m, :, :c]
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _core(vals, idx_tiles, n, interpret):
+    return _gather_fwd(vals, idx_tiles, interpret)
+
+
+def _core_fwd(vals, idx_tiles, n, interpret):
+    return _gather_fwd(vals, idx_tiles, interpret), idx_tiles
+
+
+def _core_bwd(n, interpret, idx_tiles, ct):
+    import numpy as np
+
+    dvals = _gather_bwd(ct, idx_tiles, n, interpret)
+    return dvals, np.zeros(idx_tiles.shape, dtype=jax.dtypes.float0)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
