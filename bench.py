@@ -67,13 +67,17 @@ def main() -> None:
     train_dt = (time.perf_counter() - t0) / TIMED_STEPS
     train_cps = B / train_dt
 
-    # inference (steps are independent — sync each to avoid overlap credit)
+    # inference: device executes queued programs in order, so syncing the last
+    # call's output (a real host transfer) bounds all of them — same
+    # methodology as the chained train steps, without per-call dispatch latency
     loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
     float(loss)
     t0 = time.perf_counter()
+    losses = []
     for i in range(TIMED_STEPS):
         loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
-        float(loss)
+        losses.append(loss)
+    float(sum(losses))
     infer_dt = (time.perf_counter() - t0) / TIMED_STEPS
     infer_cps = B / infer_dt
 
