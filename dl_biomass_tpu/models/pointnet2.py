@@ -105,14 +105,15 @@ class SAModule(nn.Module):
                 if use_mxu:
                     from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
 
-                    both = jnp.concatenate([feat, pos], axis=-1)  # one gather
-                    g = mxu_gather(both, nbr_idx)
-                    c = feat.shape[-1]
-                    rel = g[..., c:] - centers[:, :, None, :]
+                    # wide (bf16) features ride the MXU; the 3-wide positions
+                    # (f32, gradient-free here) use the cheap XLA gather —
+                    # concatenating them would pad the matmul C to 256
+                    gfeat = mxu_gather(feat, nbr_idx)
+                    rel = gather_points(pos, nbr_idx) - centers[:, :, None, :]
                     grouped = jnp.where(
                         nbr_mask[..., None],
-                        jnp.concatenate([g[..., :c], rel], axis=-1),
-                        0.0,
+                        jnp.concatenate([gfeat, rel.astype(gfeat.dtype)], axis=-1),
+                        jnp.zeros((), gfeat.dtype),
                     )
                 else:
                     grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)

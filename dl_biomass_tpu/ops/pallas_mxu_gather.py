@@ -36,8 +36,12 @@ def _fwd_kernel(vals_ref, idx_ref, out_ref):
     n = vals_ref.shape[1]
     rows = idx_ref[0, 0, :, :]  # (CM*K, 1) int32
     gidx = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    onehot = (rows == gidx).astype(jnp.float32)  # (CM*K, N)
-    out_ref[0, 0] = jnp.dot(onehot, vals_ref[0], preferred_element_type=jnp.float32)
+    # one-hot in the value dtype: each output row is a single product
+    # (value * 1.0), exact in bf16 as well as f32
+    onehot = (rows == gidx).astype(vals_ref.dtype)  # (CM*K, N)
+    out_ref[0, 0] = jnp.dot(
+        onehot, vals_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ct_ref, idx_ref, out_ref):
@@ -45,14 +49,14 @@ def _bwd_kernel(ct_ref, idx_ref, out_ref):
     n = out_ref.shape[1]
     rows = idx_ref[0, 0, :, :]  # (CM*K, 1)
     gcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    onehot_t = (gcol == rows[:, 0][None, :]).astype(jnp.float32)  # (N, CM*K)
+    onehot_t = (gcol == rows[:, 0][None, :]).astype(ct_ref.dtype)  # (N, CM*K)
     contrib = jnp.dot(onehot_t, ct_ref[0, 0], preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    out_ref[0] += contrib
+    out_ref[0] += contrib.astype(out_ref.dtype)
 
 
 def _gather_fwd(values, idx_tiles, interpret):
@@ -66,7 +70,7 @@ def _gather_fwd(values, idx_tiles, interpret):
             pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, _CM * _K, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, _CM * _K, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, _CM * _K, c), values.dtype),
         interpret=interpret,
     )(values, idx_tiles)
 
@@ -82,7 +86,7 @@ def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
             pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), ct_tiles.dtype),
         interpret=interpret,
     )(ct_tiles, idx_tiles)
 
@@ -102,7 +106,7 @@ def mxu_gather(values: jax.Array, idx: jax.Array, *, interpret: bool | None = No
     idx_p = jnp.pad(idx, ((0, 0), (0, m_pad - m), (0, 0)), constant_values=0)
     idx_tiles = idx_p.reshape(b, n_tiles, _CM * _K, 1)
     c_pad = round_up(c, 128)
-    vals_p = jnp.pad(values.astype(jnp.float32), ((0, 0), (0, 0), (0, c_pad - c)))
+    vals_p = jnp.pad(values, ((0, 0), (0, 0), (0, c_pad - c)))
 
     out = _core(vals_p, idx_tiles, n, interpret)
     out = out.reshape(b, m_pad, _K, c_pad)[:, :m, :, :c]

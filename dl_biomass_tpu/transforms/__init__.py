@@ -3,6 +3,7 @@ from dl_biomass_tpu.transforms.augment import (
     augment_batch,
     point_removal,
     random_noise,
+    random_scale,
     rotate_points,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "augment_batch",
     "point_removal",
     "random_noise",
+    "random_scale",
     "rotate_points",
 ]

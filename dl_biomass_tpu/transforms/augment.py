@@ -40,6 +40,13 @@ def aug_capacity(n: int, align: int = 128) -> int:
     return round_up(n + int(-(-n // 10)), align)
 
 
+def random_scale(key: jax.Array, pos: jax.Array, lo: float = 0.9, hi: float = 1.1) -> jax.Array:
+    """Uniform isotropic scale (not in the reference's chain — provided for the
+    BASELINE 'rotate/jitter/scale' config; off by default)."""
+    s = jax.random.uniform(key, (), minval=lo, maxval=hi)
+    return pos * s
+
+
 def rotate_points(key: jax.Array, pos: jax.Array) -> jax.Array:
     """Random z-axis rotation, angle ~ U(-180, 180) degrees. pos (..., 3)."""
     theta = jax.random.uniform(key, (), minval=-jnp.pi, maxval=jnp.pi)
@@ -116,15 +123,18 @@ def augment_cloud(
     feat: jax.Array,
     mask: jax.Array,
     base_n: Optional[int] = None,
+    with_scale: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full reference chain: point_removal -> random_noise -> rotate_points
-    (order per ``augmentation.py:278-280``)."""
+    (order per ``augmentation.py:278-280``); optional trailing random_scale."""
     if base_n is None:
         base_n = mask.shape[0] - mask.shape[0] // 11  # default: cap = ceil(1.1 n)
-    k_rm, k_noise, k_rot = jax.random.split(key, 3)
+    k_rm, k_noise, k_rot, k_sc = jax.random.split(key, 4)
     mask = point_removal(k_rm, mask)
     pos, feat, mask = random_noise(k_noise, pos, feat, mask, base_n)
     pos = rotate_points(k_rot, pos)
+    if with_scale:
+        pos = random_scale(k_sc, pos)
     return pos, feat, mask
 
 

@@ -91,6 +91,25 @@ class TestRandomNoise:
             assert d.max() < 0.5
 
 
+class TestRandomScale:
+    def test_scale_envelope_and_isotropy(self):
+        from dl_biomass_tpu.transforms import random_scale
+
+        pos = jnp.asarray([[2.0, 0.0, 1.0], [0.0, 4.0, -1.0]])
+        for i in range(20):
+            out = np.asarray(random_scale(jax.random.key(i), pos))
+            s = out[0, 0] / 2.0
+            assert 0.9 <= s <= 1.1
+            np.testing.assert_allclose(out, np.asarray(pos) * s, rtol=1e-6)
+
+    def test_chain_with_scale(self):
+        from dl_biomass_tpu.transforms.augment import augment_cloud
+
+        pos, feat, mask, n = base_cloud(n=100)
+        p2, f2, m2 = augment_cloud(jax.random.key(0), pos, feat, mask, n, with_scale=True)
+        assert np.isfinite(np.asarray(p2)).all()
+
+
 class TestAugmentBatch:
     def test_batch_shapes_and_y_passthrough(self):
         n = 100

@@ -1,0 +1,59 @@
+"""MXU one-hot gather: exactness, scatter-add VJP, dtype preservation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
+
+
+@pytest.fixture
+def data(rng):
+    b, n, m, k, c = 2, 256, 20, 64, 96
+    vals = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, size=(b, m, k)), jnp.int32)
+    return vals, idx
+
+
+class TestMXUGather:
+    def test_forward_exact(self, data):
+        vals, idx = data
+        out = np.asarray(mxu_gather(vals, idx, interpret=True))
+        want = np.asarray(vals)[np.arange(2)[:, None, None], np.asarray(idx)]
+        np.testing.assert_array_equal(out, want)
+
+    def test_backward_is_scatter_add(self, data, rng):
+        vals, idx = data
+        b, n, c = vals.shape
+        ct = rng.normal(size=(b, 20, 64, c)).astype(np.float32)
+
+        def loss(v):
+            return jnp.sum(mxu_gather(v, idx, interpret=True) * ct)
+
+        g = np.asarray(jax.grad(loss)(vals))
+        want = np.zeros((b, n, c), np.float32)
+        for i in range(b):
+            np.add.at(want[i], np.asarray(idx)[i].reshape(-1), ct[i].reshape(-1, c))
+        np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-5)
+
+    def test_bf16_forward_exact(self, data):
+        vals, idx = data
+        vals16 = vals.astype(jnp.bfloat16)
+        out = mxu_gather(vals16, idx, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        want = np.asarray(vals16)[np.arange(2)[:, None, None], np.asarray(idx)]
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+    def test_unaligned_m(self, rng):
+        vals = jnp.asarray(rng.normal(size=(1, 128, 32)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 128, size=(1, 5, 64)), jnp.int32)  # M=5
+        out = np.asarray(mxu_gather(vals, idx, interpret=True))
+        want = np.asarray(vals)[0][np.asarray(idx)[0]]
+        np.testing.assert_array_equal(out[0], want)
+
+    def test_rejects_wrong_k(self, rng):
+        vals = jnp.zeros((1, 64, 8))
+        idx = jnp.zeros((1, 4, 32), jnp.int32)
+        with pytest.raises(ValueError, match="K=64"):
+            mxu_gather(vals, idx, interpret=True)
