@@ -141,6 +141,7 @@ def cmd_train(argv):
             num_points=cfg.hp.num_points, model_dir=cfg.model_dir,
             biomass_csv=cfg.data.biomass_csv,
             fig_out_dir=os.path.join(cfg.model_dir, "figures"),
+            presampled_suffix=cfg.data.presampled_suffix,
         )
 
 
@@ -168,6 +169,7 @@ def cmd_evaluate(argv):
         model_dir=args.model_dir,
         biomass_csv=cfg.data.biomass_csv,
         fig_out_dir=args.fig_out_dir,
+        presampled_suffix=cfg.data.presampled_suffix,
     )
 
 

@@ -75,6 +75,7 @@ def test_model(
     batch_size: int = 32,
     glob: str = "*.las",
     seed: int = 0,
+    presampled_suffix: str = "_fps_7168",
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     if use_datasets is None:
         use_datasets = ["BC", "RM", "PF"]
@@ -90,6 +91,7 @@ def test_model(
         fileset = PointCloudsInFilesPreSampled(
             test_dataset_path, glob, dataset=use_datasets,
             use_column=use_columns[0], biomass_csv=biomass_csv,
+            presampled_suffix=presampled_suffix,
         )
         ds = fileset.load_all(for_augmentation=False)
     else:

@@ -57,6 +57,37 @@ class TestResultsFrame:
         )
 
 
+class TestTestModelPlumbing:
+    def test_presampled_suffix_reaches_dataset(self, tmp_path, rng):
+        """test_model must honor a non-default presampled suffix (regression:
+        the resample->train->evaluate chain failed the CSV join without it)."""
+        import pandas as pd
+
+        from dl_biomass_tpu.eval import testing as tst
+        from dl_biomass_tpu.io.reader import normalize_intensity, write_las
+        from dl_biomass_tpu.io.synthetic import synthetic_plot
+
+        coords, intensity, _ = synthetic_plot(rng, 200)
+        write_las(coords, str(tmp_path / "RM_000_fps_2048.las"),
+                  {"intensity": intensity.astype(np.uint16),
+                   "intensity_normalized": normalize_intensity(intensity)})
+        pd.DataFrame([dict(PlotID="RM_000", bark_btphr=1, branch_btphr=1,
+                           foliage_btphr=1, wood_btphr=1)]).to_csv(
+            tmp_path / "b.csv", index=False)
+        from dl_biomass_tpu.io.dataset import PointCloudsInFilesPreSampled
+
+        ds = PointCloudsInFilesPreSampled(
+            str(tmp_path), "*.las", biomass_csv=str(tmp_path / "b.csv"),
+            presampled_suffix="_fps_2048",
+        )
+        assert ds.plot_id(0) == "RM_000"
+        assert ds.get(0) is not None
+        # and the entry point exposes the knob
+        import inspect
+
+        assert "presampled_suffix" in inspect.signature(tst.test_model).parameters
+
+
 class TestFigures:
     def test_figures_written(self, tmp_path, obs_pred):
         from dl_biomass_tpu.eval.plots import plot_mse_curves, save_all_eval_figures
