@@ -105,11 +105,10 @@ class SAModule(nn.Module):
                 if use_mxu:
                     from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
 
-                    # wide (bf16) features ride the MXU; the 3-wide positions
-                    # (f32, gradient-free here) use the cheap XLA gather —
-                    # concatenating them would pad the matmul C to 256
-                    gfeat = mxu_gather(feat, nbr_idx)
-                    rel = gather_points(pos, nbr_idx) - centers[:, :, None, :]
+                    # features (differentiable) and positions (gradient-free
+                    # aux) share ONE one-hot build inside the kernel
+                    gfeat, gpos = mxu_gather(feat, nbr_idx, aux=pos)
+                    rel = gpos - centers[:, :, None, :]
                     grouped = jnp.where(
                         nbr_mask[..., None],
                         jnp.concatenate([gfeat, rel.astype(gfeat.dtype)], axis=-1),

@@ -32,16 +32,22 @@ _CM = 8  # centroids per tile
 _K = 64  # neighbor slots
 
 
-def _fwd_kernel(vals_ref, idx_ref, out_ref):
-    n = vals_ref.shape[1]
+def _fwd_kernel(*refs):
+    n_tables = (len(refs) - 1) // 2
+    idx_ref = refs[0]
+    val_refs = refs[1 : 1 + n_tables]
+    out_refs = refs[1 + n_tables :]
+    n = val_refs[0].shape[1]
     rows = idx_ref[0, 0, :, :]  # (CM*K, 1) int32
     gidx = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    # one-hot in the value dtype: each output row is a single product
-    # (value * 1.0), exact in bf16 as well as f32
-    onehot = (rows == gidx).astype(vals_ref.dtype)  # (CM*K, N)
-    out_ref[0, 0] = jnp.dot(
-        onehot, vals_ref[0], preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    eq = rows == gidx  # one one-hot build shared by every value table
+    for vr, outr in zip(val_refs, out_refs):
+        # one-hot in the value dtype: each output row is a single product
+        # (value * 1.0), exact in bf16 as well as f32
+        onehot = eq.astype(vr.dtype)  # (CM*K, N)
+        outr[0, 0] = jnp.dot(
+            onehot, vr[0], preferred_element_type=jnp.float32
+        ).astype(outr.dtype)
 
 
 def _bwd_kernel(ct_ref, idx_ref, out_ref):
@@ -59,20 +65,31 @@ def _bwd_kernel(ct_ref, idx_ref, out_ref):
     out_ref[0] += contrib.astype(out_ref.dtype)
 
 
-def _gather_fwd(values, idx_tiles, interpret):
+def _gather_fwd(values_list, idx_tiles, interpret):
     b, n_tiles = idx_tiles.shape[:2]
-    n, c = values.shape[1:]
-    return pl.pallas_call(
+    n = values_list[0].shape[1]
+    v_specs = [
+        pl.BlockSpec((1, n, v.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        for v in values_list
+    ]
+    o_specs = [
+        pl.BlockSpec((1, 1, _CM * _K, v.shape[2]), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+        for v in values_list
+    ]
+    o_shapes = [
+        jax.ShapeDtypeStruct((b, n_tiles, _CM * _K, v.shape[2]), v.dtype)
+        for v in values_list
+    ]
+    out = pl.pallas_call(
         _fwd_kernel,
         grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, _CM * _K, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, _CM * _K, c), values.dtype),
+        in_specs=[pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)]
+        + v_specs,
+        out_specs=o_specs,
+        out_shape=o_shapes,
         interpret=interpret,
-    )(values, idx_tiles)
+    )(idx_tiles, *values_list)
+    return out if isinstance(out, (list, tuple)) else [out]
 
 
 def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
@@ -92,9 +109,19 @@ def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def mxu_gather(values: jax.Array, idx: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+def mxu_gather(
+    values: jax.Array,
+    idx: jax.Array,
+    aux: jax.Array | None = None,
+    *,
+    interpret: bool | None = None,
+):
     """Differentiable batched row gather: values (B, N, C), idx (B, M, K) ->
-    (B, M, K, C); d/dvalues is an exact scatter-add."""
+    (B, M, K, C); d/dvalues is an exact scatter-add.
+
+    ``aux`` (B, N, C2) rides the SAME one-hot build as a second, gradient-free
+    value table (e.g. positions next to features) — returns a tuple
+    (gathered, gathered_aux)."""
     b, n, c = values.shape
     m, k = idx.shape[1:]
     if interpret is None:
@@ -108,18 +135,24 @@ def mxu_gather(values: jax.Array, idx: jax.Array, *, interpret: bool | None = No
     c_pad = round_up(c, 128)
     vals_p = jnp.pad(values, ((0, 0), (0, 0), (0, c_pad - c)))
 
-    out = _core(vals_p, idx_tiles, n, interpret)
-    out = out.reshape(b, m_pad, _K, c_pad)[:, :m, :, :c]
-    return out
+    def unpack(o, cc):
+        return o.reshape(b, m_pad, _K, o.shape[-1])[:, :m, :, :cc]
+
+    if aux is None:
+        return unpack(_core(vals_p, idx_tiles, n, interpret), c)
+    c2 = aux.shape[-1]
+    aux_p = jnp.pad(aux, ((0, 0), (0, 0), (0, round_up(c2, 128) - c2)))
+    out, out_aux = _core2(vals_p, aux_p, idx_tiles, n, interpret)
+    return unpack(out, c), unpack(out_aux, c2)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _core(vals, idx_tiles, n, interpret):
-    return _gather_fwd(vals, idx_tiles, interpret)
+    return _gather_fwd([vals], idx_tiles, interpret)[0]
 
 
 def _core_fwd(vals, idx_tiles, n, interpret):
-    return _gather_fwd(vals, idx_tiles, interpret), idx_tiles
+    return _core(vals, idx_tiles, n, interpret), idx_tiles
 
 
 def _core_bwd(n, interpret, idx_tiles, ct):
@@ -130,3 +163,25 @@ def _core_bwd(n, interpret, idx_tiles, ct):
 
 
 _core.defvjp(_core_fwd, _core_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _core2(vals, aux, idx_tiles, n, interpret):
+    return tuple(_gather_fwd([vals, aux], idx_tiles, interpret))
+
+
+def _core2_fwd(vals, aux, idx_tiles, n, interpret):
+    return _core2(vals, aux, idx_tiles, n, interpret), idx_tiles
+
+
+def _core2_bwd(n, interpret, idx_tiles, cts):
+    import numpy as np
+
+    ct_vals, ct_aux = cts  # aux tables are gradient-free by contract (raw data)
+    dvals = _gather_bwd(ct_vals, idx_tiles, n, interpret)
+    b = ct_aux.shape[0]
+    daux = jnp.zeros((b, n, ct_aux.shape[-1]), ct_aux.dtype)  # DCE'd: no params in aux
+    return dvals, daux, np.zeros(idx_tiles.shape, dtype=jax.dtypes.float0)
+
+
+_core2.defvjp(_core2_fwd, _core2_bwd)

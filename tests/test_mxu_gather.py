@@ -52,6 +52,25 @@ class TestMXUGather:
         want = np.asarray(vals)[0][np.asarray(idx)[0]]
         np.testing.assert_array_equal(out[0], want)
 
+    def test_aux_table_rides_along(self, data, rng):
+        vals, idx = data
+        aux = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+        out, out_aux = mxu_gather(vals, idx, aux=aux, interpret=True)
+        want_aux = np.asarray(aux)[np.arange(2)[:, None, None], np.asarray(idx)]
+        np.testing.assert_array_equal(np.asarray(out_aux), want_aux)
+        # grads still flow to values (and only to values)
+        ct = rng.normal(size=out.shape).astype(np.float32)
+
+        def loss(v):
+            o, _ = mxu_gather(v, idx, aux=aux, interpret=True)
+            return jnp.sum(o * ct)
+
+        g = np.asarray(jax.grad(loss)(vals))
+        want = np.zeros(vals.shape, np.float32)
+        for i in range(2):
+            np.add.at(want[i], np.asarray(idx)[i].reshape(-1), ct[i].reshape(-1, vals.shape[-1]))
+        np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-5)
+
     def test_rejects_wrong_k(self, rng):
         vals = jnp.zeros((1, 64, 8))
         idx = jnp.zeros((1, 4, 32), jnp.int32)
