@@ -87,10 +87,7 @@ class PointCloudsInFiles:
         return self.files[idx].name.split(".")[0]
 
     def targets(self, plot_id: str) -> np.ndarray:
-        if self._table is None:
-            raise ValueError("no biomass_csv configured")
-        row = self._table.loc[plot_id]
-        return np.asarray([row[c] for c in BIOMASS_COLUMNS], np.float32)
+        return _lookup_targets(self._table, plot_id)
 
     def get(
         self, idx: int, rng: np.random.Generator

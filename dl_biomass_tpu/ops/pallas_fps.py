@@ -44,10 +44,9 @@ def _fps_kernel(px_ref, py_ref, pz_ref, valid_ref, start_ref, out_ref):
     b, n = px_ref.shape
     k = out_ref.shape[1]  # out block is (B_blk, k): lane dim == full array dim,
     # which satisfies Mosaic's block-divisibility rule for any k
-    # stacked coordinate planes: one (3, B, N) block so the per-iteration
-    # coordinate extraction is a SINGLE reduction instead of three (reduction
-    # latency, not FLOPs, bounds this loop)
-    pxs = jnp.stack([px_ref[:], py_ref[:], pz_ref[:]])  # (3, B, N)
+    # NOTE: coordinate planes are read from their refs directly — stacking them
+    # into one (3, B, N) value doubled VMEM residency and OOM'd 50k-pt clouds
+    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
     valid = valid_ref[:] > 0.5
     neg = jnp.float32(-jnp.inf)
     lane = lax.broadcasted_iota(jnp.int32, (b, n), 1)
@@ -55,8 +54,13 @@ def _fps_kernel(px_ref, py_ref, pz_ref, valid_ref, start_ref, out_ref):
     def pick(idx_col, dists):
         """one-hot extract coords of idx per row; kill its dist."""
         oh = lane == idx_col[:, None]
-        l = jnp.sum(pxs * oh.astype(jnp.float32)[None], axis=2, keepdims=True)
-        return l, jnp.where(oh, neg, dists)  # l: (3, B, 1)
+        ohf = oh.astype(jnp.float32)
+        l = (
+            jnp.sum(px * ohf, axis=1, keepdims=True),
+            jnp.sum(py * ohf, axis=1, keepdims=True),
+            jnp.sum(pz * ohf, axis=1, keepdims=True),
+        )
+        return l, jnp.where(oh, neg, dists)  # l: 3 x (B, 1)
 
     start = start_ref[:, 0]  # (B,)
     dists = jnp.where(valid, jnp.float32(jnp.inf), neg)
@@ -68,9 +72,8 @@ def _fps_kernel(px_ref, py_ref, pz_ref, valid_ref, start_ref, out_ref):
     acc = jnp.where(kcol == 0, start[:, None], 0)
 
     def step(i, dists, acc, l):
-        diff = pxs - l
-        sq = diff * diff
-        d = sq[0] + sq[1] + sq[2]
+        dx, dy, dz = px - l[0], py - l[1], pz - l[2]
+        d = dx * dx + dy * dy + dz * dz
         dists = jnp.minimum(dists, d)
         nxt = jnp.argmax(dists, axis=1).astype(jnp.int32)
         acc = jnp.where(kcol == i, nxt[:, None], acc)
@@ -128,6 +131,10 @@ def fps_pallas(
 
     grid = (b_pad // blk,)
     imap = lambda i: (i, 0)
+    # Pallas double-buffers input blocks, so the working set is ~2x the plane
+    # bytes plus loop temporaries; raise the scoped-VMEM cap for big-N clouds
+    # (v5e has headroom beyond the 16MB default).
+    vmem_bytes = min(2 * 5 * blk * n_pad * 4 + 4 * 2**20, 100 * 2**20)
     out = pl.pallas_call(
         _fps_kernel,
         grid=grid,
@@ -140,6 +147,7 @@ def fps_pallas(
         ],
         out_specs=pl.BlockSpec((blk, num_samples), imap, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, num_samples), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(planes[0], planes[1], planes[2], valid, starts_p)
     return out[:b]
