@@ -53,6 +53,19 @@ def load_biomass_table(csv_path: str) -> pd.DataFrame:
     return t.set_index("PlotID")
 
 
+def _lookup_targets(table: Optional[pd.DataFrame], plot_id: str) -> np.ndarray:
+    if table is None:
+        raise ValueError("no biomass_csv configured")
+    try:
+        row = table.loc[plot_id]
+    except KeyError:
+        raise ValueError(
+            f"PlotID {plot_id!r} not found in the biomass table — check the "
+            "presampled_suffix / filename stems against the CSV's PlotID column"
+        ) from None
+    return np.asarray([row[c] for c in BIOMASS_COLUMNS], np.float32)
+
+
 def _list_plot_files(root_dir: str, glob: str, datasets: Sequence[str]) -> List[Path]:
     """Glob + filter by dataset prefix (first 2 chars of the filename)."""
     files = sorted(Path(root_dir).glob(glob))
@@ -188,10 +201,7 @@ class PointCloudsInFilesPreSampled:
         return self.files[idx].name.split(".")[0].replace(self.presampled_suffix, "")
 
     def targets(self, plot_id: str) -> np.ndarray:
-        if self._table is None:
-            raise ValueError("no biomass_csv configured")
-        row = self._table.loc[plot_id]
-        return np.asarray([row[c] for c in BIOMASS_COLUMNS], np.float32)
+        return _lookup_targets(self._table, plot_id)
 
     def get(self, idx: int) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, str]]:
         path = str(self.files[idx])
