@@ -1,0 +1,109 @@
+"""Optimized inference engine.
+
+Builds a jitted serving forward from a trained model's variables:
+
+  * BatchNorm folded into the Linear weights (eval-mode BN is affine);
+  * SA1 runs as ONE fused kernel (selection + gather + MLP + max,
+    ops/pallas_sa_fused.py) — the (B, M, K, C) edge tensors never touch HBM;
+  * SA2/SA3/head run as folded jnp matmuls over the existing kernels;
+  * dropout off, deterministic FPS starts.
+
+Scope: the flagship SSG architecture (ReLU, single-scale, K=64). Falls back to
+``model.apply`` semantics elsewhere. Numerically equivalent to
+``model.apply(variables, batch, train=False)`` with ``fast_group=True`` up to
+f32 reassociation (~1e-4 relative).
+
+Status note (measured on v5e, B=16 x 10240): the fused-SA1 path currently ties
+or slightly trails the plain jitted eval (XLA pipelines the unfused ops well in
+eval mode) — kept as the optimization vehicle for per-tile MLP scheduling work;
+``Trainer``/``test_model`` use ``model.apply``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dl_biomass_tpu.ops import ball_query, farthest_point_sample, gather_points, masked_max
+from dl_biomass_tpu.ops.pallas_sa_fused import fold_bn, sa_fused_eval
+
+
+def _folded_mlp(params: dict, stats: dict) -> List[Tuple[jax.Array, jax.Array]]:
+    """[(W', b'), ...] with hidden-layer BN folded; final layer plain."""
+    n_lin = sum(1 for k in params if k.startswith("lin"))
+    out = []
+    for i in range(n_lin):
+        w = params[f"lin{i}"]["kernel"]
+        b = params[f"lin{i}"]["bias"]
+        if i < n_lin - 1:  # hidden: fold bn{i}
+            bn_p = params[f"bn{i}"]
+            bn_s = stats[f"bn{i}"]
+            w, b = fold_bn(w, b, bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"])
+        out.append((w, b))
+    return out
+
+
+def _run_folded(x, layers, act=True):
+    """act=True: ReLU on hidden layers (SA/global MLPs); act=False: identity
+    (the head uses act=None — reference pointnet2_regressor.py:50)."""
+    for i, (w, b) in enumerate(layers):
+        x = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32) + b
+        if act and i < len(layers) - 1:
+            x = jnp.maximum(x, 0.0)
+    return x
+
+
+def compile_inference(model, variables) -> Callable:
+    """Returns a jitted ``fn(batch) -> (B, num_outputs)`` serving function."""
+    if model.activation_function != "ReLU" or model.msg or model.max_neighbors != 64:
+        raise NotImplementedError(
+            "inference engine covers the flagship SSG/ReLU/K=64 config; "
+            "use model.apply for other variants"
+        )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sa1_layers = _folded_mlp(params["sa1"]["mlp"], stats["sa1"]["mlp"])
+    sa2_layers = _folded_mlp(params["sa2"]["mlp"], stats["sa2"]["mlp"])
+    sa3_layers = _folded_mlp(params["sa3"]["mlp"], stats["sa3"]["mlp"])
+    head_layers = _folded_mlp(params["head"], stats["head"])
+    sa1_flat = [a for wb in sa1_layers for a in wb]
+    r1 = model.sa1_radius * (2 if model.doubled_radius else 1)
+    r2 = model.sa2_radius * (2 if model.doubled_radius else 1)
+
+    @jax.jit
+    def infer(batch):
+        feat, pos, mask = batch.feat, batch.pos, batch.mask
+        if feat.shape[-1] == 0:
+            feat = pos
+        b, n, _ = pos.shape
+        m1 = math.ceil(model.sa1_ratio * n)
+        m2 = math.ceil(model.sa2_ratio * m1)
+
+        idx1 = farthest_point_sample(pos, mask, m1, use_pallas=model.use_pallas)
+        c1 = gather_points(pos, idx1)
+        cm1 = jnp.take_along_axis(mask, idx1, axis=1)
+        h1 = sa_fused_eval(c1, cm1, pos, mask, feat, sa1_flat, radius=r1)
+
+        idx2 = farthest_point_sample(c1, cm1, m2, use_pallas=model.use_pallas)
+        c2 = gather_points(c1, idx2)
+        cm2 = jnp.take_along_axis(cm1, idx2, axis=1)
+        nidx, nm = ball_query(c2, cm2, c1, cm1, radius=r2, k=64)
+        if model.use_pallas and c1.shape[1] <= 4096:
+            from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
+
+            gfeat, gpos = mxu_gather(h1, nidx, aux=c1)
+        else:
+            gfeat, gpos = gather_points(h1, nidx), gather_points(c1, nidx)
+        rel = gpos - c2[:, :, None, :]
+        e = jnp.where(nm[..., None], jnp.concatenate([gfeat, rel], axis=-1), 0.0)
+        h2 = masked_max(_run_folded(e, sa2_layers), nm, axis=2)
+
+        g = jnp.concatenate([h2, c2], axis=-1)
+        h3 = masked_max(_run_folded(g, sa3_layers), cm2, axis=1)
+        return _run_folded(h3, head_layers, act=False).astype(jnp.float32)
+
+    return infer

@@ -1,0 +1,64 @@
+"""Fused inference engine: parity with model.apply, folding correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl_biomass_tpu.core.cloud import CloudBatch
+from dl_biomass_tpu.models import PointNet2Regressor
+from dl_biomass_tpu.models.inference import _folded_mlp, compile_inference
+from dl_biomass_tpu.ops.pallas_sa_fused import fold_bn
+
+
+@pytest.fixture
+def setup(rng):
+    b, n = 2, 384
+    batch = CloudBatch(
+        pos=jnp.asarray(rng.normal(size=(b, n, 3)) * 3, jnp.float32),
+        feat=jnp.asarray(rng.normal(size=(b, n, 1)), jnp.float32),
+        mask=jnp.asarray(np.arange(n)[None] < np.asarray([384, 300])[:, None]),
+        y=None,
+    )
+    model = PointNet2Regressor(num_features=1, use_pallas=True, fast_group=True)
+    variables = model.init({"params": jax.random.key(0)}, batch, train=False)
+    return model, variables, batch
+
+
+class TestFoldBN:
+    def test_affine_equivalence(self, rng):
+        w = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+        scale = jnp.asarray(rng.uniform(0.5, 2, 16), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+        mean = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+        var = jnp.asarray(rng.uniform(0.5, 2, 16), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
+        want = ((x @ w + b) - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        wf, bf = fold_bn(w, b, scale, bias, mean, var)
+        np.testing.assert_allclose(np.asarray(x @ wf + bf), np.asarray(want), rtol=2e-5, atol=1e-5)
+
+
+class TestInferenceEngine:
+    def test_matches_model_apply(self, setup):
+        model, variables, batch = setup
+        want = np.asarray(model.apply(variables, batch, train=False))
+        infer = compile_inference(model, variables)
+        got = np.asarray(infer(batch))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-4, rel
+
+    def test_rejects_unsupported_variants(self, setup):
+        _, variables, _ = setup
+        with pytest.raises(NotImplementedError):
+            compile_inference(PointNet2Regressor(num_features=1, msg=True), variables)
+        with pytest.raises(NotImplementedError):
+            compile_inference(
+                PointNet2Regressor(num_features=1, activation_function="ELU"), variables
+            )
+
+    def test_folded_layer_count(self, setup):
+        _, variables, _ = setup
+        layers = _folded_mlp(variables["params"]["head"], variables["batch_stats"]["head"])
+        assert len(layers) == 3  # 1024->128->128->4
+        assert layers[-1][0].shape == (128, 4)
