@@ -52,6 +52,40 @@ class TestCodecRoundtrip:
         np.testing.assert_array_equal(f["return_number"], np.ones(len(f)))
         np.testing.assert_array_equal(f["number_of_returns"], np.ones(len(f)))
 
+    def test_pf1_gps_time_roundtrip(self, tmp_path, cloud):
+        coords, intensity = cloud
+        hdr = lascodec.LasHeader(version=(1, 2), point_format=1)
+        hdr.scales = np.asarray([0.001] * 3)
+        t = np.linspace(1e5, 2e5, len(coords))
+        path = str(tmp_path / "pf1.las")
+        lascodec.write(path, coords, header=hdr,
+                       attributes={"intensity": intensity, "gps_time": t})
+        f = lascodec.read(path)
+        assert f.header.point_format == 1
+        np.testing.assert_allclose(f["gps_time"], t, rtol=1e-12)
+
+    def test_pf7_rgb_roundtrip(self, tmp_path, cloud):
+        coords, intensity = cloud
+        hdr = lascodec.LasHeader(version=(1, 4), point_format=7)
+        hdr.scales = np.asarray([0.001] * 3)
+        rgb = {c: np.random.default_rng(1).integers(0, 65535, len(coords)).astype(np.uint16)
+               for c in ("red", "green", "blue")}
+        path = str(tmp_path / "pf7.las")
+        lascodec.write(path, coords, header=hdr, attributes={"intensity": intensity, **rgb})
+        f = lascodec.read(path)
+        for c in ("red", "green", "blue"):
+            np.testing.assert_array_equal(f[c], rgb[c])
+
+    def test_useevery_and_filter_combined(self, tmp_path, cloud):
+        coords, intensity = cloud
+        path = str(tmp_path / "uf.las")
+        write_las(coords, path, {"intensity": intensity})
+        out, attrs = read_las(path, get_attributes=True, useevery=3, filter_height=10.0)
+        strided = coords[::3]
+        keep = strided[:, 2] > 10.0
+        assert len(out) == keep.sum()
+        np.testing.assert_array_equal(attrs["intensity"], intensity[::3][keep])
+
     def test_rejects_non_las(self, tmp_path):
         p = tmp_path / "junk.las"
         p.write_bytes(b"NOPE" + b"\0" * 400)
