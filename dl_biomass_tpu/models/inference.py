@@ -22,7 +22,6 @@ eval mode) — kept as the optimization vehicle for per-tile MLP scheduling work
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, List, Tuple
 
 import jax

@@ -27,7 +27,7 @@ Variants beyond the reference constructor surface:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ selected points via the value-match trick (keys are unique indices, so
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

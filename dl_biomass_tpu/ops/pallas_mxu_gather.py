@@ -18,8 +18,6 @@ falls back to the XLA path beyond that.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -13,7 +13,7 @@ path (batch-stats BN + autodiff).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

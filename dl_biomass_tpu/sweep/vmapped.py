@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass
-from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -250,7 +249,7 @@ def grid_sweep(
             batch_size=bs, num_augs=num_augs, num_epochs=num_epochs, log_fn=log_fn,
         )
     if study is not None:
-        from dl_biomass_tpu.sweep.study import FrozenTrial, TrialState, _ParamSpec
+        from dl_biomass_tpu.sweep.study import FrozenTrial, TrialState
 
         for r in all_results:
             ft = FrozenTrial(number=len(study.trials))
