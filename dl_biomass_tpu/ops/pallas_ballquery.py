@@ -1,5 +1,8 @@
 """Fused Pallas TPU kernel for ball query (fixed-radius first-K neighbors).
 
+TPU equivalent of the torch_cluster CUDA kernel behind ``radius(..., max_num_
+neighbors=64)`` in the reference model (``pointnet2_regressor.py:14-15``).
+
 The XLA path (ops/ballquery.py) materializes a (B, M, N) key tensor in HBM and
 runs top-k / approx_min_k over the point axis — ~50-320 ms at SA1 scale
 (B=16, M=2048, N=10240, K=64). This kernel keeps everything in VMEM:

@@ -1,5 +1,8 @@
 """MXU one-hot gather with a matching scatter-add backward (Pallas).
 
+TPU-native replacement for the torch_geometric edge gather + torch_scatter
+backward inside PointConv message passing (reference ``pointnet2_regressor.py:10,18``).
+
 SA2's neighborhood gather moves (B, M, K, C=128) feature rows; XLA's gather +
 scatter pair costs ~15 ms/step at flagship scale (the single largest cluster in
 the train-step profile). On TPU a gather of wide rows is better spent on the

@@ -1,5 +1,8 @@
 """Fully-fused set-abstraction layer for inference (Pallas).
 
+One kernel for the reference SAModule's entire eval forward (``pointnet2_
+regressor.py:12-20``: fps neighbors -> PointConv MLP -> max aggregation).
+
 One kernel per SA1: stratified ball selection + neighbor capture (as in
 ops/pallas_group.py) + the 3-layer pointwise MLP with BatchNorm FOLDED into the
 weights (eval mode: BN is affine) + the masked max over neighbors — emitting
