@@ -134,6 +134,11 @@ class DeviceDataset:
     ) -> Iterator[CloudBatch]:
         """Yield fixed-shape CloudBatches; the final partial batch is padded with
         zero-weight clouds so every step reuses one compiled shape."""
+        if num_augs > 0 and key is None:
+            raise ValueError(
+                "batches(num_augs>0) needs a PRNG key — without one every epoch "
+                "would see identical augmentations"
+            )
         order, aug = self.epoch_order(key, num_augs, shuffle)
         n = len(order)
         akey = key if key is not None else jax.random.key(0)
