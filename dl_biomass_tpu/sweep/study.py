@@ -411,3 +411,30 @@ def newest_study(folder: str, glob_pat: str = "*.json") -> Optional[str]:
 
     files = _glob.glob(os.path.join(folder, glob_pat))
     return max(files, key=os.path.getmtime) if files else None
+
+
+def load_best_hp_from_csv(folder: str, glob_pat: str = "*_trials.csv") -> dict:
+    """Best hyperparameters from the newest trials CSV in ``folder``.
+
+    Parity with the reference's trainer variant that boots from the newest
+    tuning-results CSV sorted by value (``Misc/main_V3.py:19-29``). Returns the
+    best row's params as a plain dict (keys without the ``params_`` prefix).
+    """
+    import glob as _glob
+
+    import pandas as pd
+
+    files = _glob.glob(os.path.join(folder, glob_pat))
+    if not files:
+        raise FileNotFoundError(f"no trials CSVs matching {glob_pat!r} under {folder!r}")
+    newest = max(files, key=os.path.getmtime)
+    df = pd.read_csv(newest)
+    df = df[df["value"].notna()].sort_values(by="value", ascending=True)
+    if df.empty:
+        raise ValueError(f"{newest}: no completed trials")
+    row = df.iloc[0].to_dict()
+    return {
+        k.replace("params_", ""): v
+        for k, v in row.items()
+        if k.startswith("params_")
+    } | {"value": row["value"]}

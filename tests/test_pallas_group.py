@@ -120,3 +120,34 @@ class TestBallGroupPallas:
         # same order of magnitude, high agreement (not bitwise)
         denom = np.abs(o_exact).mean() + 1e-6
         assert np.abs(o_fast - o_exact).mean() / denom < 0.35
+
+
+class TestStratifiedCaptureStatistics:
+    def test_capture_rate_matches_documented_claims(self, rng):
+        """Quantify the documented selection-rule properties: for balls >= 64
+        points the kernel fills ~64 slots; for m < 64 expected capture is
+        ~m*(1 - m/256) (same-residue-pair shadowing)."""
+        import jax.numpy as jnp
+
+        n = 1024
+        pos = np.zeros((1, n, 3), np.float32)
+        mask = np.ones((1, n), bool)
+        # place m in-ball points at random indices; the rest far away
+        # thresholds leave headroom for slot-collision variance at n=1024
+        # (64 residue-pair slots of 16 indices each)
+        for m, min_frac in ((200, 0.85), (40, 0.70), (10, 0.80)):
+            coords = rng.normal(size=(n, 3)).astype(np.float32) * 100 + 50
+            inball = rng.choice(n, m, replace=False)
+            coords[inball] = rng.normal(size=(m, 3)).astype(np.float32) * 0.3
+            pos[0] = coords
+            center = np.zeros((1, 1, 3), np.float32)
+            _, nm, _, _ = ball_group_pallas(
+                jnp.asarray(center), jnp.ones((1, 1), bool),
+                jnp.asarray(pos), jnp.asarray(mask), None,
+                radius=2.0, interpret=True,
+            )
+            captured = int(np.asarray(nm).sum())
+            expected = min(m, 64)
+            assert captured >= min_frac * expected * (1 - m / 256 if m < 64 else 1), (
+                m, captured)
+            assert captured <= expected

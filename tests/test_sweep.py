@@ -134,3 +134,26 @@ class TestVmappedSweep:
         # the real-lr trial must beat the dead-lr trial on synthetic data
         assert results[0].best_val_mse < results[1].best_val_mse
         assert all(np.isfinite(r.best_val_mse) for r in results)
+
+
+class TestBestHPFromCSV:
+    def test_loads_newest_and_best_row(self, tmp_path):
+        import pandas as pd
+
+        from dl_biomass_tpu.sweep.study import load_best_hp_from_csv
+
+        pd.DataFrame([
+            dict(number=0, value=5.0, state="COMPLETE", params_lr=0.1, params_batch_size=8),
+            dict(number=1, value=2.0, state="COMPLETE", params_lr=0.01, params_batch_size=16),
+            dict(number=2, value=None, state="PRUNED", params_lr=0.5, params_batch_size=4),
+        ]).to_csv(tmp_path / "a_trials.csv", index=False)
+        best = load_best_hp_from_csv(str(tmp_path))
+        assert best["lr"] == 0.01 and best["batch_size"] == 16 and best["value"] == 2.0
+
+    def test_missing_folder_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from dl_biomass_tpu.sweep.study import load_best_hp_from_csv
+
+        with _pytest.raises(FileNotFoundError):
+            load_best_hp_from_csv(str(tmp_path / "nope"))
