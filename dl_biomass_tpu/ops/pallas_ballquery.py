@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dl_biomass_tpu.core.cloud import round_up
 
 _G = 128  # residue buckets (lane width)
-_CM = 8  # centroids per tile (f32 sublane width)
+_CM = 32  # centroids per tile (wider tiles amortize the extraction loops)
 _R = 8  # extraction rounds -> R*G candidates per centroid
 
 
