@@ -51,6 +51,10 @@ def normalize_intensity(intensity_vals: np.ndarray) -> np.ndarray:
     biomass vals" (reference quirk, ``pointcloud_dataloader.py:42-44``)."""
     intensity_vals = np.asarray(intensity_vals, np.float64)
     lo, hi = intensity_vals.min(), intensity_vals.max()
+    if hi == lo:
+        # constant-intensity cloud: the reference divides by zero here and
+        # produces NaNs (pointcloud_dataloader.py:44); map to 0 instead
+        return np.zeros_like(intensity_vals)
     return (intensity_vals - lo) / (hi - lo) * 20
 
 

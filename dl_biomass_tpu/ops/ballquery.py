@@ -60,9 +60,13 @@ def _ball_query_one(
         # first K valid indices = K smallest keys
         if approx:
             # TPU PartialReduce top-k: ~6x faster than lax.top_k at N~10k.
-            # With the default recall target a true first-K member can very
-            # rarely be substituted by a later-index ball member (bin
-            # collision) — statistically identical since point order is random.
+            # Recall semantics: for balls with >k members a missed true first-K
+            # entry is replaced by a later-index ball member (statistically
+            # identical since point order is random); for balls with <=k
+            # members a miss DROPS that neighbor (the sentinel wins the slot).
+            # In practice the key pattern here (few small values in a sea of
+            # sentinels) makes misses rare — and `method="exact"` / the parity
+            # preset bypass this path entirely.
             vals, _ = lax.approx_min_k(keys.astype(jnp.float32), k_eff, recall_target=0.95)
             idx = vals.astype(jnp.int32)
         else:

@@ -167,13 +167,16 @@ class Trainer:
         self, state: TrainState, batches: Iterable[CloudBatch], key: jax.Array
     ) -> Tuple[TrainState, float, int]:
         losses = []
-        n = 0
+        counts = []
         for i, batch in enumerate(batches):
             batch = shard_batch(batch, self.mesh)
             state, loss = self._train_step(state, batch, jax.random.fold_in(key, i))
             losses.append(loss)
-            n += batch.batch_size
+            # real (non-padded) clouds only — a partial final batch must not
+            # inflate the throughput metric
+            counts.append(jnp.sum(jnp.any(batch.mask, axis=1)))
         # one host sync per epoch, not per step
+        n = int(sum(int(c) for c in counts))
         return state, float(np.mean([float(l) for l in losses])), n
 
     def evaluate(self, state: TrainState, batches: Iterable[CloudBatch]) -> float:
@@ -220,7 +223,7 @@ class Trainer:
             "clouds_per_sec": [],
         }
         best_val = np.inf
-        best_state = state
+        best_state = jax.tree.map(jnp.copy, state)  # pre-donation copy
         stopped_early = False
         start_epoch = 0
 
@@ -232,7 +235,7 @@ class Trainer:
             restored, meta = restore_latest(checkpoint_dir, state)
             if restored is not None:
                 state = restored
-                best_state = restored
+                best_state = jax.tree.map(jnp.copy, restored)  # pre-donation copy
                 start_epoch = int(meta["epoch"]) + 1 if meta else 0
                 best_val = float(meta["val_mse"]) if meta else np.inf
                 stopper.last_val = best_val
@@ -270,7 +273,9 @@ class Trainer:
 
             if val_mse <= best_val:
                 best_val = val_mse
-                best_state = state
+                # deep-copy: train_step donates its input state's buffers, so a
+                # bare reference would be a dead buffer after the next step
+                best_state = jax.tree.map(jnp.copy, state)
                 if checkpoint_dir:
                     from dl_biomass_tpu.train.checkpoint import save_checkpoint
 

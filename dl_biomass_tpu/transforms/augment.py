@@ -7,10 +7,11 @@ the same chain and distributions but static shapes + masks and explicit PRNG key
     ~ U[round(0.9*n), n] (reference ``augmentation.py:73-88``). Dense version
     masks out removed slots instead of compacting.
   * ``random_noise`` — draw sigma ~ U(0.01, 0.025); add or subtract (50/50)
-    gaussian noise on coords and features; then *append* a uniform-random subset
-    of up to 10% of the noisy points to the cloud (reference
-    ``augmentation.py:91-122``). Dense version writes appended points into pad
-    slots beyond the base capacity.
+    gaussian noise on a *copy* of coords and features; then *append* a
+    uniform-random subset of up to 10% of those noisy copies to the original,
+    un-jittered cloud (reference ``augmentation.py:91-122``). Dense version
+    writes appended points into pad slots beyond the base capacity; base slots
+    stay clean.
   * ``rotate_points`` — uniform z-rotation in (-180, 180) degrees (reference
     ``augmentation.py:54-70``). Features are not rotated.
 
@@ -91,7 +92,12 @@ def random_noise(
     mask: jax.Array,  # (C,)
     base_n: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Jitter + append-duplicates, writing appended points to slots [base_n, C)."""
+    """Append jittered duplicates to the ORIGINAL (un-jittered) cloud.
+
+    Reference semantics (``augmentation.py:113-120``): noise is computed over a
+    copy of the cloud, and only a random subset of those *noisy copies* is
+    appended — the base points themselves stay clean. Appended points are
+    written to slots [base_n, C)."""
     c = pos.shape[0]
     cap_extra = c - base_n
     k_sd, k_sign, k_noise_p, k_noise_f, k_rank, k_cnt = jax.random.split(key, 6)
@@ -111,8 +117,8 @@ def random_noise(
     app_src = src_by_rank[:cap_extra]  # source slot for each append slot
     app_valid = jnp.arange(cap_extra, dtype=jnp.int32) < n_extra
 
-    out_pos = noisy_pos.at[base_n:].set(jnp.where(app_valid[:, None], noisy_pos[app_src], 0.0))
-    out_feat = noisy_feat.at[base_n:].set(jnp.where(app_valid[:, None], noisy_feat[app_src], 0.0))
+    out_pos = pos.at[base_n:].set(jnp.where(app_valid[:, None], noisy_pos[app_src], 0.0))
+    out_feat = feat.at[base_n:].set(jnp.where(app_valid[:, None], noisy_feat[app_src], 0.0))
     out_mask = mask.at[base_n:].set(app_valid)
     return out_pos, out_feat, out_mask
 
