@@ -277,6 +277,12 @@ def cmd_tune(argv):
     study.trials_dataframe().to_csv(args.study_out.replace(".json", "_trials.csv"), index=False)
     imp = study.get_param_importances()
     print("Param importances:", {k: round(v, 3) for k, v in imp.items()})
+    if imp:
+        from dl_biomass_tpu.eval.plots import plot_param_importances
+
+        png = args.study_out.replace(".json", "_param_importances.png")
+        plot_param_importances(imp, png)
+        print(f"Wrote {png}")
 
 
 def cmd_density(argv):

@@ -54,6 +54,11 @@ class ModelConfig:
     remat: bool = False  # rematerialize edge MLPs in backward (memory for FLOPs)
     fast_group: bool = True  # fused stratified SA1 grouping kernel (TPU only;
     # statistically equivalent stratified ball sampling — see ops/pallas_group.py)
+    fused_sa: bool = False  # fused SA MLP+BN+max Pallas kernels with custom VJP
+    # (ops/pallas_sa_train.py); same math as the unfused stack to fp tolerance.
+    # Off by default: on this TPU stack Pallas HBM streaming runs ~10x below
+    # XLA's (measured ~25 vs ~220 GB/s), so the kernel's 6 re-read passes lose
+    # to XLA's fused unfused stack (46 vs 42 ms/step) — see docs/ROUNDLOG.md
 
 
 @dataclass

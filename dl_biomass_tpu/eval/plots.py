@@ -115,6 +115,25 @@ def plot_cloud_grid(coords_list: Sequence[np.ndarray], out_path: Optional[str] =
     plt.close(fig)
 
 
+def plot_param_importances(importances, out_path: Optional[str] = None):
+    """Horizontal bar chart of hyperparameter importances (reference
+    ``hyperparameter_tuning.py:276-286``, optuna's plot_param_importances)."""
+    names = list(importances.keys())[::-1]  # most important on top
+    vals = [importances[n] for n in names]
+    fig, ax = plt.subplots(figsize=(8, max(2, 0.6 * len(names) + 1)))
+    ax.barh(names, vals, color="tab:blue")
+    for i, v in enumerate(vals):
+        ax.text(v, i, f" {v:.3f}", va="center")
+    ax.set_xlabel("Importance for objective value")
+    ax.set_title("Hyperparameter Importances")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+        return out_path
+    return fig
+
+
 def plot_mse_curves(csv_path: str, out_path: Optional[str] = None):
     """Train/val MSE curve from the trainer's CSV log (reference ``main.py:255-273``)."""
     df = pd.read_csv(csv_path, sep=",", header=None)

@@ -3,12 +3,18 @@
 The reference model is built from torch_geometric ``MLP`` stacks
 (``pointnet2_regressor.py:46-50``): per hidden layer Linear -> BatchNorm -> act ->
 dropout, with a plain final Linear. This module reproduces those semantics in flax,
-with two TPU-first twists:
+with three TPU-first twists:
 
   * every layer is **mask-aware** — dense padded batching means BatchNorm must
     compute statistics over valid elements only;
   * matmul inputs can be cast to bfloat16 (``compute_dtype``) to hit the MXU's
-    fast path while keeping f32 params/statistics.
+    fast path while keeping f32 params/statistics;
+  * train-mode statistics use the one-pass sum/sumsq form so XLA reads the huge
+    (B, M, K, C) edge tensor once per BatchNorm, not twice.
+
+``Dense``/``MaskedBatchNorm`` are setup-based and expose their raw parameters
+(``kernel_bias``, ``fold``, ``update_running``) so fused Pallas SA kernels can
+consume the identical parameter tree (see ops/pallas_sa_train.py).
 """
 
 from __future__ import annotations
@@ -54,23 +60,33 @@ class Dense(nn.Module):
     """Linear layer with torch-default init and optional bf16 compute."""
 
     features: int
+    in_features: int
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        init = torch_linear_init(self.in_features)
+        self.kernel = self.param("kernel", init, (self.in_features, self.features))
+        self.bias = self.param("bias", init, (self.features,))
+
+    def kernel_bias(self):
+        """Raw f32 parameters — for the fused-stats path's analytic moments."""
+        return self.kernel, self.bias
+
     def __call__(self, x):
-        fan_in = x.shape[-1]
-        init = torch_linear_init(fan_in)
-        kernel = self.param("kernel", init, (fan_in, self.features))
-        bias = self.param("bias", init, (self.features,))
+        if x.shape[-1] != self.in_features:
+            raise ValueError(
+                f"Dense expected {self.in_features} input features, got {x.shape[-1]}"
+            )
         y = jnp.dot(
             x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            preferred_element_type=jnp.float32,
+            self.kernel.astype(self.compute_dtype),
+            # f32 accumulation for <=f32 compute; f64 under jax_enable_x64 tests
+            preferred_element_type=jnp.promote_types(self.compute_dtype, jnp.float32),
         )
         # return activations in compute_dtype: the edge tensors between layers
         # are the memory-bound cost of the SA MLPs, and bf16 halves that HBM
         # traffic (params, accumulation and BN statistics stay f32)
-        return (y + bias).astype(self.compute_dtype)
+        return (y + self.bias).astype(self.compute_dtype)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -80,39 +96,64 @@ class MaskedBatchNorm(nn.Module):
     biased variance for normalization, unbiased for the running estimate.
     """
 
+    num_features: int
     eps: float = 1e-5
     momentum: float = 0.1
 
-    @nn.compact
-    def __call__(self, x, mask=None, *, use_running_average: bool):
-        c = x.shape[-1]
-        gamma = self.param("scale", nn.initializers.ones, (c,))
-        beta = self.param("bias", nn.initializers.zeros, (c,))
-        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
-        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+    def setup(self):
+        c = self.num_features
+        self.gamma = self.param("scale", nn.initializers.ones, (c,))
+        self.beta = self.param("bias", nn.initializers.zeros, (c,))
+        self.ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        self.ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
+    def params_(self):
+        """Raw (gamma, beta) — for the fused Pallas SA path."""
+        return self.gamma, self.beta
+
+    def running(self):
+        """Running (mean, var) — for the fused eval path."""
+        return self.ra_mean.value, self.ra_var.value
+
+    def update_running(self, mean, var, cnt):
+        """EMA update with torch semantics (unbiased var for the running stat)."""
+        if self.is_initializing():
+            return
+        unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        self.ra_mean.value = (1 - self.momentum) * self.ra_mean.value + self.momentum * mean
+        self.ra_var.value = (1 - self.momentum) * self.ra_var.value + self.momentum * unbiased
+
+    def fold(self, mean, var):
+        """Fold the normalize into (scale, shift): y = x*scale + shift."""
+        scale = self.gamma * jax.lax.rsqrt(var + self.eps)
+        return scale, self.beta - mean * scale
+
+    def __call__(self, x, mask=None, *, use_running_average: bool):
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean, var = self.ra_mean.value, self.ra_var.value
         else:
             # reduce over all leading axes in place — a reshape(-1, c) here
             # materializes a flat copy of the (huge) edge tensor in HBM
             axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             if mask is not None:
+                # sum/sumsq form: both reductions read x ONCE (XLA multi-output
+                # fusion) — the (x - mean)^2 form forces a second full pass over
+                # the huge edge tensor after the mean is known
                 m = jnp.expand_dims(mask, -1).astype(jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(xf * m, axis=axes) / cnt
-                var = jnp.sum(jnp.square(xf - mean) * m, axis=axes) / cnt
+                xm = xf * m
+                mean = jnp.sum(xm, axis=axes) / cnt
+                e2 = jnp.sum(xm * xf, axis=axes) / cnt
+                var = jnp.maximum(e2 - mean * mean, 0.0)
             else:
                 cnt = jnp.float32(np.prod(x.shape[:-1]))
                 mean = jnp.mean(xf, axis=axes)
-                var = jnp.var(xf, axis=axes)
-            if not self.is_initializing():
-                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
-        inv = jax.lax.rsqrt(var + self.eps)
-        out = (x.astype(jnp.float32) - mean) * (inv * gamma) + beta
+                e2 = jnp.mean(xf * xf, axis=axes)
+                var = jnp.maximum(e2 - mean * mean, 0.0)
+            self.update_running(mean, var, cnt)
+        scale, shift = self.fold(mean, var)
+        out = x.astype(jnp.promote_types(x.dtype, jnp.float32)) * scale + shift
         return out.astype(x.dtype)  # preserve activation dtype (bf16 pipeline)
 
 
@@ -131,12 +172,84 @@ class MLP(nn.Module):
         # ``train`` is positional-friendly so nn.remat can mark it static
         act = resolve_activation(self.act)
         chans = list(self.channels)
-        for i, width in enumerate(chans[1:-1]):
-            x = Dense(width, compute_dtype=self.compute_dtype, name=f"lin{i}")(x)
-            x = MaskedBatchNorm(name=f"bn{i}")(x, mask, use_running_average=not train)
+        lins = [
+            Dense(w, in_features=chans[i], compute_dtype=self.compute_dtype, name=f"lin{i}")
+            for i, w in enumerate(chans[1:])
+        ]
+        bns = [MaskedBatchNorm(num_features=w, name=f"bn{i}") for i, w in enumerate(chans[1:-1])]
+
+        for lin, bn in zip(lins[:-1], bns):
+            x = lin(x)
+            x = bn(x, mask, use_running_average=not train)
             if act is not None:
                 x = act(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = Dense(chans[-1], compute_dtype=self.compute_dtype, name=f"lin{len(chans) - 2}")(x)
-        return x
+        return lins[-1](x)
+
+
+class FusedSAMLP(nn.Module):
+    """MLP([C0, C1, C2, C3]) + masked max over the neighbor axis, executed by
+    the fused Pallas SA kernels (ops/pallas_sa_train.py).
+
+    Creates the exact same parameter/variable tree as ``MLP`` (lin0/bn0/lin1/
+    bn1/lin2) so checkpoints are interchangeable with the unfused path; the
+    init pass runs the standard layer stack to build it.
+
+    Input: ``dense`` (B, M, K=64, CD) wide edge features (or None) + ``planes``
+    CP x (B, M, K) narrow channels + nbr_mask (B, M, K); W1's channel order is
+    [dense..., planes...] (see ops/pallas_sa_train.py for why two forms).
+    Output: pooled (B, M, C3) — what ``masked_max(MLP(...), axis=2)`` returns.
+    """
+
+    channels: Sequence[int]
+    act: Optional[str] = "ReLU"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dense, planes, nbr_mask, train: bool = False):
+        from dl_biomass_tpu.ops.pallas_sa_train import fused_sa_mlp
+        from dl_biomass_tpu.ops.pooling import masked_max
+
+        chans = list(self.channels)
+        if len(chans) != 4:
+            raise ValueError(f"FusedSAMLP needs [C0, C1, C2, C3] channels, got {chans}")
+        lin0 = Dense(chans[1], in_features=chans[0], compute_dtype=self.compute_dtype, name="lin0")
+        bn0 = MaskedBatchNorm(num_features=chans[1], name="bn0")
+        lin1 = Dense(chans[2], in_features=chans[1], compute_dtype=self.compute_dtype, name="lin1")
+        bn1 = MaskedBatchNorm(num_features=chans[2], name="bn1")
+        lin2 = Dense(chans[3], in_features=chans[2], compute_dtype=self.compute_dtype, name="lin2")
+
+        if self.is_initializing():
+            # standard stack builds the identical tree; shapes here are tiny
+            parts = ([dense] if dense is not None else []) + [p[..., None] for p in planes]
+            grouped = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+            act = resolve_activation(self.act)
+            x = bn0(lin0(grouped), nbr_mask, use_running_average=False)
+            x = act(x) if act is not None else x
+            x = bn1(lin1(x), nbr_mask, use_running_average=False)
+            x = act(x) if act is not None else x
+            return masked_max(lin2(x), nbr_mask, axis=2)
+
+        w1, b1 = lin0.kernel_bias()
+        w2, b2 = lin1.kernel_bias()
+        w3, b3 = lin2.kernel_bias()
+        g1, be1 = bn0.params_()
+        g2, be2 = bn1.params_()
+        params = dict(w1=w1, b1=b1, gamma1=g1, beta1=be1,
+                      w2=w2, b2=b2, gamma2=g2, beta2=be2, w3=w3, b3=b3)
+        bf16 = jnp.dtype(self.compute_dtype) == jnp.dtype(jnp.bfloat16)
+        if dense is not None:
+            dense = dense.astype(self.compute_dtype)
+        if train:
+            out, (m1, v1, m2, v2) = fused_sa_mlp(
+                dense, planes, nbr_mask, params, act=self.act, bf16=bf16, train=True
+            )
+            cnt = jnp.maximum(jnp.sum(nbr_mask.astype(jnp.float32)), 1.0)
+            bn0.update_running(m1, v1, cnt)
+            bn1.update_running(m2, v2, cnt)
+            return out
+        running = bn0.running() + bn1.running()
+        return fused_sa_mlp(
+            dense, planes, nbr_mask, params, running, act=self.act, bf16=bf16, train=False
+        )

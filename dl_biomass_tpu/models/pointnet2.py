@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dl_biomass_tpu.models.layers import MLP
+from dl_biomass_tpu.models.layers import MLP, FusedSAMLP, resolve_activation
 from dl_biomass_tpu.ops import ball_query, farthest_point_sample, gather_points, group_neighborhoods, masked_max
 
 
@@ -60,6 +60,10 @@ class SAModule(nn.Module):
     # (ops/pallas_group.py). ONLY valid when this layer's inputs carry no
     # gradient (the first SA layer: pos/feat come straight from data) — the
     # kernel has no VJP and its outputs are stop-gradient'ed.
+    fused_sa: bool = False  # fused Pallas edge-MLP+BN+max kernels with custom
+    # VJP (ops/pallas_sa_train.py): no (B, M, K, C) tensor touches HBM inside
+    # the MLP stack. Needs K=64 and a 2-hidden-layer MLP; same math as the
+    # unfused path to fp tolerance.
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
@@ -76,6 +80,13 @@ class SAModule(nn.Module):
         center_mask = jnp.take_along_axis(mask, idx, axis=1)
 
         mlp_cls = nn.remat(MLP, static_argnums=(3,)) if self.remat else MLP
+        use_fused_sa = (
+            self.fused_sa
+            and self.use_pallas
+            and self.max_neighbors == 64
+            and len(self.mlp_channels) == 4
+            and (self.act is None or self.act in ("None", "ReLU", "LeakyReLU", "ELU"))
+        )
         use_fused = (
             self.fast_group
             and self.use_pallas
@@ -83,14 +94,34 @@ class SAModule(nn.Module):
             and (feat is None or feat.shape[-1] <= 4)
         )
 
+        def fused_mlp(scale_i):
+            return FusedSAMLP(
+                self.mlp_channels, act=self.act, compute_dtype=self.compute_dtype,
+                name=f"mlp{scale_i}" if scale_i else "mlp",
+            )
+
         def one_scale(r: float, scale_i: int):
+            dense = None  # wide edge-feature block for the fused SA MLP
+            planes = None  # narrow per-channel (B, M, K) planes for it
             if use_fused:
                 from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
 
-                _, nbr_mask, rel, gfeat = ball_group_pallas(
-                    centers, center_mask, pos, mask, feat, radius=r
-                )
-                grouped = jax.lax.stop_gradient(jnp.concatenate([gfeat, rel], axis=-1))
+                if use_fused_sa:
+                    # end-to-end plane pipeline: the grouping kernel's raw
+                    # captured planes feed the fused MLP kernels directly —
+                    # no (B, M, K, C) edge tensor exists anywhere at SA1
+                    _, nbr_mask, gpos_planes, feat_planes = ball_group_pallas(
+                        centers, center_mask, pos, mask, feat, radius=r,
+                        raw_planes=True,
+                    )
+                    planes = list(feat_planes) + [
+                        gp - centers[..., c : c + 1] for c, gp in enumerate(gpos_planes)
+                    ]
+                else:
+                    _, nbr_mask, rel, gfeat = ball_group_pallas(
+                        centers, center_mask, pos, mask, feat, radius=r
+                    )
+                    grouped = jax.lax.stop_gradient(jnp.concatenate([gfeat, rel], axis=-1))
             else:
                 nbr_idx, nbr_mask = ball_query(
                     centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
@@ -108,14 +139,24 @@ class SAModule(nn.Module):
                     # features (differentiable) and positions (gradient-free
                     # aux) share ONE one-hot build inside the kernel
                     gfeat, gpos = mxu_gather(feat, nbr_idx, aux=pos)
-                    rel = gpos - centers[:, :, None, :]
-                    grouped = jnp.where(
-                        nbr_mask[..., None],
-                        jnp.concatenate([gfeat, rel.astype(gfeat.dtype)], axis=-1),
-                        jnp.zeros((), gfeat.dtype),
-                    )
+                    if use_fused_sa:
+                        dense = jnp.where(nbr_mask[..., None], gfeat, jnp.zeros((), gfeat.dtype))
+                        planes = [
+                            gpos[..., c] - centers[..., c : c + 1] for c in range(3)
+                        ]
+                    else:
+                        rel = gpos - centers[:, :, None, :]
+                        grouped = jnp.where(
+                            nbr_mask[..., None],
+                            jnp.concatenate([gfeat, rel.astype(gfeat.dtype)], axis=-1),
+                            jnp.zeros((), gfeat.dtype),
+                        )
                 else:
                     grouped = group_neighborhoods(pos, feat, centers, nbr_idx, nbr_mask)
+                    if use_fused_sa:
+                        dense, planes = grouped, []
+            if use_fused_sa:
+                return fused_mlp(scale_i)(dense, planes, nbr_mask, train)
             h = mlp_cls(
                 self.mlp_channels,
                 act=self.act,
@@ -168,6 +209,9 @@ class PointNet2Regressor(nn.Module):
     msg: bool = False
     remat: bool = False
     fast_group: bool = False  # fused SA1 grouping kernel (stratified selection)
+    fused_sa: bool = False  # fused SA MLP+BN+max Pallas kernels (TPU train+eval);
+    # correct and parity-tested, but HBM-streaming-capped on this stack — see
+    # core/config.py note
     num_outputs: int = 4
     # historical scalar-output variant (Misc/pn2_regressor_V2.py:42-44): the
     # global SA output and the head's hidden widths are doubled
@@ -188,6 +232,7 @@ class PointNet2Regressor(nn.Module):
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             remat=self.remat,
+            fused_sa=self.fused_sa,
         )
         msg1 = (r1 * 2,) if self.msg else ()
         msg2 = (r2 * 2,) if self.msg else ()
@@ -251,6 +296,7 @@ def model_to_dict(model: PointNet2Regressor) -> dict:
         msg=model.msg,
         remat=model.remat,
         fast_group=model.fast_group,
+        fused_sa=model.fused_sa,
         num_outputs=model.num_outputs,
         global_width_mult=model.global_width_mult,
         compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
@@ -286,6 +332,7 @@ def build_model(cfg, num_features: int) -> PointNet2Regressor:
         msg=mc.msg,
         remat=getattr(mc, "remat", False),
         fast_group=getattr(mc, "fast_group", False),
+        fused_sa=getattr(mc, "fused_sa", False),
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
     )

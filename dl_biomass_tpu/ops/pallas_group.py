@@ -100,7 +100,7 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int):
     lax.fori_loop(0, m // _CM, tile, 0, unroll=False)
 
 
-@partial(jax.jit, static_argnames=("radius", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "interpret", "raw_planes"))
 def ball_group_pallas(
     centers: jax.Array,  # (B, M, 3)
     center_mask: jax.Array,  # (B, M)
@@ -110,7 +110,8 @@ def ball_group_pallas(
     *,
     radius: float,
     interpret: bool | None = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    raw_planes: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Fused stratified ball query + gather.
 
     Returns:
@@ -118,6 +119,12 @@ def ball_group_pallas(
       nbr_mask: (B, M, 64) bool
       rel:      (B, M, 64, 3) f32 gathered positions relative to each centroid
       gfeat:    (B, M, 64, F) f32 gathered features (F = feat planes captured)
+
+    ``raw_planes=True`` skips the channel stacking and returns
+    ``(idx, nbr_mask, (gx, gy, gz), feat_planes)`` with each plane (B, M, 64)
+    exactly as the kernel wrote it — the layout the fused SA MLP kernels
+    consume (ops/pallas_sa_train.py), avoiding the 3-wide minor-dim arrays
+    that pad to 128 lanes in HBM.
     """
     b, m, _ = centers.shape
     n = pos.shape[1]
@@ -165,6 +172,8 @@ def ball_group_pallas(
     nbr_mask = idx_raw < n
     idx = jnp.where(nbr_mask, idx_raw, 0)
     gx, gy, gz = (o[:, :m] for o in outs[1:4])
+    if raw_planes:
+        return idx, nbr_mask, (gx, gy, gz), tuple(o[:, :m] for o in outs[4:])
     rel = jnp.stack(
         [gx - centers[..., 0:1], gy - centers[..., 1:2], gz - centers[..., 2:3]], axis=-1
     )

@@ -1,21 +1,28 @@
-"""MXU one-hot gather with a matching scatter-add backward (Pallas).
+"""Neighborhood gather with an MXU one-hot scatter-add backward (Pallas).
 
 TPU-native replacement for the torch_geometric edge gather + torch_scatter
 backward inside PointConv message passing (reference ``pointnet2_regressor.py:10,18``).
 
 SA2's neighborhood gather moves (B, M, K, C=128) feature rows; XLA's gather +
-scatter pair costs ~15 ms/step at flagship scale (the single largest cluster in
-the train-step profile). On TPU a gather of wide rows is better spent on the
-MXU: build a one-hot (CM*K, N) selection block per centroid tile and matmul it
-against the (N, C) value table — and the backward scatter-add is the SAME
-matmul transposed, accumulated across tiles in VMEM.
+scatter pair costs ~15 ms/step at flagship scale. On TPU a gather of wide
+rows is better spent on the MXU: build a one-hot (CM*K, N) selection block
+per centroid tile and matmul it against the (N, C) value table — the kernel's
+SEQUENTIAL output writes beat XLA's random-access gather reads even under
+this stack's Pallas DMA cap (measured: 5.8 ms vs 7.3 ms for take_along_axis
+at flagship SA2 scale). The backward scatter-add is the SAME matmul
+transposed, accumulated across tiles in VMEM.
 
-f32 one-hot matmuls are EXACT gathers (each output row sums exactly one
-product), so this is bit-compatible with take-style gathers.
+One-hot matmuls are exact against bf16 cotangents (each output element sums
+exact products). For f32 cotangents the MXU's single bf16 pass would round the
+values (Mosaic lowers f32 dots to bf16 multiplies by default, and its
+precision flags are shape-dependent on v5e), so the compiled f32 path splits
+the cotangent into three bf16 chunks (hi/mid/lo of the mantissa, each exactly
+representable) and accumulates three one-hot matmuls in f32 — reconstruction
+error < 2^-21 relative.
 
-Scope: N (points) and C (channels) sized for VMEM residency — N*C + N*CM*K
-floats per tile (SA2: 2048x128 values + 2048x512 one-hot ~= 5 MB). The caller
-falls back to the XLA path beyond that.
+Scope: N (points) and C (channels) sized for VMEM residency in the backward
+(SA2: 2048x128 cotangent rows + 2048x512 one-hot ~= 5 MB). The caller falls
+back to the XLA path beyond that.
 """
 
 from __future__ import annotations
@@ -33,7 +40,42 @@ _CM = 8  # centroids per tile
 _K = 64  # neighbor slots
 
 
-def _fwd_kernel(*refs):
+def _onehot_dot(onehot, table, *, split_f32):
+    """onehot (R, N) x table (N, C) with exact value transport.
+
+    bf16 table / interpret mode: one pass. Compiled f32 table: three bf16
+    mantissa chunks (each cast is exact for its chunk) accumulated in f32."""
+    if not split_f32 or table.dtype == jnp.bfloat16:
+        return jnp.dot(
+            onehot.astype(table.dtype), table, preferred_element_type=jnp.float32
+        )
+    oh = onehot.astype(jnp.bfloat16)
+    acc = None
+    rest = table
+    for _ in range(3):
+        chunk = rest.astype(jnp.bfloat16)
+        term = jnp.dot(oh, chunk, preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+        rest = rest - chunk.astype(jnp.float32)
+    return acc
+
+
+def _bwd_kernel(ct_ref, idx_ref, out_ref, *, split_f32):
+    j = pl.program_id(1)
+    n = out_ref.shape[1]
+    rows = idx_ref[0, 0, :, :]  # (CM*K, 1)
+    gcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    onehot_t = gcol == rows[:, 0][None, :]  # (N, CM*K)
+    contrib = _onehot_dot(onehot_t, ct_ref[0, 0], split_f32=split_f32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += contrib.astype(out_ref.dtype)
+
+
+def _fwd_kernel(*refs, split_f32):
     n_tables = (len(refs) - 1) // 2
     idx_ref = refs[0]
     val_refs = refs[1 : 1 + n_tables]
@@ -43,27 +85,7 @@ def _fwd_kernel(*refs):
     gidx = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     eq = rows == gidx  # one one-hot build shared by every value table
     for vr, outr in zip(val_refs, out_refs):
-        # one-hot in the value dtype: each output row is a single product
-        # (value * 1.0), exact in bf16 as well as f32
-        onehot = eq.astype(vr.dtype)  # (CM*K, N)
-        outr[0, 0] = jnp.dot(
-            onehot, vr[0], preferred_element_type=jnp.float32
-        ).astype(outr.dtype)
-
-
-def _bwd_kernel(ct_ref, idx_ref, out_ref):
-    j = pl.program_id(1)
-    n = out_ref.shape[1]
-    rows = idx_ref[0, 0, :, :]  # (CM*K, 1)
-    gcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    onehot_t = (gcol == rows[:, 0][None, :]).astype(ct_ref.dtype)  # (N, CM*K)
-    contrib = jnp.dot(onehot_t, ct_ref[0, 0], preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
-
-    out_ref[0] += contrib.astype(out_ref.dtype)
+        outr[0, 0] = _onehot_dot(eq, vr[0], split_f32=split_f32).astype(outr.dtype)
 
 
 def _gather_fwd(values_list, idx_tiles, interpret):
@@ -82,7 +104,7 @@ def _gather_fwd(values_list, idx_tiles, interpret):
         for v in values_list
     ]
     out = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, split_f32=not interpret),
         grid=(b, n_tiles),
         in_specs=[pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)]
         + v_specs,
@@ -97,7 +119,7 @@ def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
     b, n_tiles = idx_tiles.shape[:2]
     c = ct_tiles.shape[-1]
     return pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, split_f32=not interpret),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, _CM * _K, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),

@@ -7,17 +7,23 @@ flag fakes an 8-device mesh on CPU so every sharding/collective path is exercise
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+# DL_BIOMASS_TPU_TESTS=1 runs the on-device suite (pytest -m tpu) against the
+# real chip: keep the ambient TPU platform instead of forcing the CPU mesh.
+_TPU_MODE = os.environ.get("DL_BIOMASS_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
 # The axon sitecustomize force-registers the TPU backend via
 # jax.config.update("jax_platforms", "axon,cpu"), which overrides the env var —
 # override it back at config level so tests really run on the virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 # Compiles are shipped to a remote service in this environment (~30s round trip);
 # a persistent on-disk cache makes repeat test runs cheap.
