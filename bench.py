@@ -31,22 +31,222 @@ N = 10240  # ~10k pts, lane-aligned
 TIMED_STEPS = 8
 
 
-def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
+def _make_batch(rng, b, n, f=1):
     from dl_biomass_tpu.core.cloud import CloudBatch
+
+    return CloudBatch(
+        pos=jnp.asarray(rng.normal(size=(b, n, 3)) * 5, jnp.float32),
+        feat=jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32),
+        mask=jnp.ones((b, n), bool),
+        y=jnp.asarray(rng.normal(size=(b, 4)), jnp.float32),
+    )
+
+
+def _time_train(trainer, state, batch, steps=TIMED_STEPS):
+    key = jax.random.key(1)
+    state, loss = trainer._train_step(state, batch, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, i))
+    float(loss)
+    return (time.perf_counter() - t0) / steps
+
+
+def bench_config0() -> None:
+    """BASELINE configs[0]: SSG regressor, 1024-pt clouds, CPU fwd/bwd."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    jax.config.update("jax_platforms", "cpu")
     from dl_biomass_tpu.core.config import HyperParams, TrainConfig
     from dl_biomass_tpu.models.pointnet2 import build_model
     from dl_biomass_tpu.train.trainer import Trainer
 
     rng = np.random.default_rng(0)
-    batch = CloudBatch(
-        pos=jnp.asarray(rng.normal(size=(B, N, 3)) * 5, jnp.float32),
-        feat=jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32),
-        mask=jnp.ones((B, N), bool),
-        y=jnp.asarray(rng.normal(size=(B, 4)), jnp.float32),
+    b, n = 8, 1024
+    batch = _make_batch(rng, b, n)
+    cfg = TrainConfig(hp=HyperParams(batch_size=b))
+    cfg.model.compute_dtype = "float32"
+    model = build_model(cfg, num_features=1)
+    trainer = Trainer(model, cfg)
+    state = trainer.init_state(jax.random.key(0), batch)
+    dt = _time_train(trainer, state, batch, steps=4)
+    print(json.dumps({
+        "metric": "config0_cpu_fwd_bwd_1024pts", "value": round(b / dt, 2),
+        "unit": "clouds/s", "train_ms_per_step": round(dt * 1000, 2),
+        "batch": b, "points_per_cloud": n, "device": "cpu",
+    }))
+
+
+def bench_config1() -> None:
+    """BASELINE configs[1]: 10k-pt training with on-the-fly augs (2 augs, b=12)."""
+    from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+    from dl_biomass_tpu.io.device_data import DeviceDataset
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    b, n, plots = 12, 10240, 24
+    ds = DeviceDataset.from_clouds(
+        [rng.normal(size=(n, 3)).astype(np.float32) * 5 for _ in range(plots)],
+        [rng.normal(size=(n, 1)).astype(np.float32) for _ in range(plots)],
+        rng.normal(size=(plots, 4)).astype(np.float32),
+        [f"RM_{i:03d}" for i in range(plots)],
     )
+    cfg = TrainConfig(hp=HyperParams(batch_size=b, num_augs=2))
+    model = build_model(cfg, num_features=1)
+    trainer = Trainer(model, cfg)
+    example = next(ds.batches(b))
+    state = trainer.init_state(jax.random.key(0), example)
+    key = jax.random.key(1)
+
+    def epoch(ep, state):
+        clouds = 0
+        loss = None
+        for i, batch in enumerate(ds.batches(b, key=jax.random.fold_in(key, ep),
+                                             num_augs=2, shuffle=True)):
+            state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, ep * 1000 + i))
+            clouds += int(np.asarray(jnp.sum(jnp.any(batch.mask, axis=1))))
+        float(loss)
+        return state, clouds
+
+    state, _ = epoch(0, state)  # warm/compile
+    t0 = time.perf_counter()
+    state, clouds = epoch(1, state)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "config1_train_10k_with_augs", "value": round(clouds / dt, 2),
+        "unit": "clouds/s (incl. on-device augmentation)",
+        "batch": b, "points_per_cloud": n, "num_augs": 2,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_config2() -> None:
+    """BASELINE configs[2]: doubled-radius + multi-scale-grouping SA variant."""
+    from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng, B, N)
+    out = {}
+    for name, msg, dbl in [("doubled_radius", False, True), ("msg", True, False)]:
+        cfg = TrainConfig(hp=HyperParams(batch_size=B))
+        cfg.model.msg = msg
+        cfg.model.doubled_radius = dbl
+        model = build_model(cfg, num_features=1)
+        trainer = Trainer(model, cfg)
+        state = trainer.init_state(jax.random.key(0), batch)
+        dt = _time_train(trainer, state, batch)
+        out[name] = {"clouds_per_sec": round(B / dt, 2),
+                     "train_ms_per_step": round(dt * 1000, 2)}
+    print(json.dumps({
+        "metric": "config2_msg_doubled_radius", "value": out["msg"]["clouds_per_sec"],
+        "unit": "clouds/s", **out, "batch": B, "points_per_cloud": N,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_config3() -> None:
+    """BASELINE configs[3]: vmapped parallel HP trials (lr x wd grid)."""
+    from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+    from dl_biomass_tpu.io.device_data import DeviceDataset
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.sweep.vmapped import VmappedSweep
+
+    rng = np.random.default_rng(0)
+    trials, b, n, plots = 8, 8, 4096, 16
+    ds = DeviceDataset.from_clouds(
+        [rng.normal(size=(n, 3)).astype(np.float32) * 5 for _ in range(plots)],
+        [rng.normal(size=(n, 1)).astype(np.float32) for _ in range(plots)],
+        rng.normal(size=(plots, 4)).astype(np.float32),
+        [f"RM_{i:03d}" for i in range(plots)],
+    )
+    cfg = TrainConfig(hp=HyperParams(batch_size=b))
+    model = build_model(cfg, num_features=1)
+    lrs = [10 ** u for u in np.linspace(-4, -2, trials)]
+    wds = [1e-4] * trials
+    sweep = VmappedSweep(model, lrs, wds)
+    example = next(ds.batches(b))
+    state = sweep.init_states(jax.random.key(0), example)
+    active = jnp.ones(trials, bool)
+    key = jax.random.key(1)
+
+    def run_epoch(ep, state):
+        loss = None
+        steps = 0
+        for i, batch in enumerate(ds.batches(b, key=jax.random.fold_in(key, ep), shuffle=True)):
+            keys = jax.random.split(jax.random.fold_in(key, ep * 100 + i), trials)
+            state, loss = sweep._train_step(state, sweep.lrs, sweep.wds, active, keys, batch)
+            steps += 1
+        float(jnp.sum(loss))
+        return state, steps
+
+    state, _ = run_epoch(0, state)
+    t0 = time.perf_counter()
+    state, steps = run_epoch(1, state)
+    dt = time.perf_counter() - t0
+    trial_clouds = trials * steps * b
+    print(json.dumps({
+        "metric": "config3_vmapped_sweep", "value": round(trial_clouds / dt, 2),
+        "unit": "trial-clouds/s (8 parallel trials)", "trials": trials,
+        "batch": b, "points_per_cloud": n, "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_config4() -> None:
+    """BASELINE configs[4]: inference at 1k-50k pts/cloud with voxel downsampling."""
+    from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+    from dl_biomass_tpu.io.resample import voxel_downsample
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    rows = {}
+    for n in (1024, 5120, 10240, 51200):
+        b = 8
+        cfg = TrainConfig(hp=HyperParams(batch_size=b))
+        model = build_model(cfg, num_features=1)
+        trainer = Trainer(model, cfg)
+        batch = _make_batch(rng, b, n)
+        state = trainer.init_state(jax.random.key(0), batch)
+        loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
+        float(loss)
+        t0 = time.perf_counter()
+        accs = []
+        for _ in range(4):
+            loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
+            accs.append(loss)
+        float(sum(accs))
+        dt = (time.perf_counter() - t0) / 4
+        rows[str(n)] = {"clouds_per_sec": round(b / dt, 2),
+                        "infer_ms_per_batch8": round(dt * 1000, 2)}
+    # host-side voxel downsampling rate (50k -> grid), the configs[4] pre-stage
+    cloud = rng.normal(size=(51200, 3)).astype(np.float64) * 5
+    t0 = time.perf_counter()
+    for _ in range(10):
+        kept = voxel_downsample(cloud, 0.35)
+    vox_dt = (time.perf_counter() - t0) / 10
+    print(json.dumps({
+        "metric": "config4_inference_density_sweep", "value": rows["10240"]["clouds_per_sec"],
+        "unit": "clouds/s at 10k pts", "by_points": rows,
+        "voxel_downsample_50k_ms": round(vox_dt * 1000, 2),
+        "voxel_kept_points": int(kept.shape[0]), "device": str(jax.devices()[0]),
+    }))
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+    from dl_biomass_tpu.models.pointnet2 import build_model
+    from dl_biomass_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng, B, N)
 
     cfg = TrainConfig(hp=HyperParams(batch_size=B))
     model = build_model(cfg, num_features=1)
@@ -108,4 +308,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--config"):
+        # BASELINE.json "configs" rows: bench.py --config N (0..4)
+        n = int(sys.argv[1].split("=")[-1]) if "=" in sys.argv[1] else int(sys.argv[2])
+        [bench_config0, bench_config1, bench_config2, bench_config3,
+         bench_config4][n]()
+    else:
+        main()  # headline metric (the driver's entry — one JSON line)

@@ -53,7 +53,11 @@ def _load_cfg(args, overrides):
     from dl_biomass_tpu.core.config import TrainConfig
 
     cfg = TrainConfig.from_json(args.config) if getattr(args, "config", None) else TrainConfig()
-    return cfg.with_overrides(overrides) if overrides else cfg
+    if overrides:
+        cfg = cfg.with_overrides(overrides)
+    if getattr(args, "parity", False):
+        cfg = cfg.apply_parity()
+    return cfg
 
 
 def _load_train_val(cfg):
@@ -80,6 +84,8 @@ def cmd_train(argv):
     p = argparse.ArgumentParser(prog="train")
     p.add_argument("--config")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-exact numerics: f32 + exact first-K ball query")
     own, overrides = _split_overrides(argv, p)
     args = p.parse_args(own)
     cfg = _load_cfg(args, overrides)
@@ -148,6 +154,8 @@ def cmd_train(argv):
 def cmd_evaluate(argv):
     p = argparse.ArgumentParser(prog="evaluate")
     p.add_argument("--config")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-exact numerics: f32 + exact first-K ball query")
     p.add_argument("--model-dir", default="models_out")
     p.add_argument("--model-file")
     p.add_argument("--fig-out-dir", default="figures_out")
@@ -170,6 +178,7 @@ def cmd_evaluate(argv):
         biomass_csv=cfg.data.biomass_csv,
         fig_out_dir=args.fig_out_dir,
         presampled_suffix=cfg.data.presampled_suffix,
+        parity=args.parity,
     )
 
 

@@ -8,6 +8,7 @@ dataclasses with JSON round-trip and dotted CLI overrides (``--hp.lr 1e-3``).
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import json
 from dataclasses import dataclass, field
@@ -59,6 +60,9 @@ class ModelConfig:
     # Off by default: on this TPU stack Pallas HBM streaming runs ~10x below
     # XLA's (measured ~25 vs ~220 GB/s), so the kernel's 6 re-read passes lose
     # to XLA's fused unfused stack (46 vs 42 ms/step) — see docs/ROUNDLOG.md
+    exact_selection: bool = False  # exact first-K ball query everywhere
+    # (torch_cluster semantics, reference pointnet2_regressor.py:14-15);
+    # normally set via apply_parity()
 
 
 @dataclass
@@ -114,6 +118,24 @@ class TrainConfig:
     def from_json(cls, path: str) -> "TrainConfig":
         with open(path) as f:
             return cls.from_dict(json.load(f))
+
+    def apply_parity(self) -> "TrainConfig":
+        """The parity preset: reference-exact numerics end to end.
+
+        Production defaults trade exactness for speed in three places —
+        bf16 activations, stratified SA1 grouping (fast_group) and
+        approx_min_k ball query (recall 0.95). This preset restores the
+        reference's exact semantics (torch_cluster first-K selection,
+        ``pointnet2_regressor.py:14-15``; f32 activations) for prediction-
+        parity verification against reference runs. Expect ~2-3x slower
+        steps; see tests/test_parity_preset.py for the pinned default-vs-
+        parity prediction deltas."""
+        cfg = copy.deepcopy(self)
+        cfg.model.compute_dtype = "float32"
+        cfg.model.fast_group = False
+        cfg.model.fused_sa = False
+        cfg.model.exact_selection = True
+        return cfg
 
     def with_overrides(self, overrides: Sequence[str]) -> "TrainConfig":
         """Apply dotted-path overrides like ``hp.lr=0.001`` or ``--hp.lr 0.001``."""

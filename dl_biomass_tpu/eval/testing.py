@@ -25,8 +25,14 @@ from dl_biomass_tpu.eval.metrics import build_results_frame, metrics_table
 from dl_biomass_tpu.eval.plots import plot_cloud_grid, save_all_eval_figures
 
 
-def load_model_for_eval(model_dir: str, model_file: Optional[str] = None):
-    """Rebuild (model, params, batch_stats) from the newest (or given) ckpt."""
+def load_model_for_eval(model_dir: str, model_file: Optional[str] = None,
+                        parity: bool = False):
+    """Rebuild (model, params, batch_stats) from the newest (or given) ckpt.
+
+    ``parity=True`` overrides the inference-speed knobs with the reference-
+    exact ones (f32, exact first-K ball query, no stratified grouping) — the
+    parameters are dtype-independent, so any checkpoint can be evaluated in
+    parity mode."""
     import orbax.checkpoint as ocp
 
     from dl_biomass_tpu.models.pointnet2 import model_from_dict
@@ -38,7 +44,11 @@ def load_model_for_eval(model_dir: str, model_file: Optional[str] = None):
     cfg_path = os.path.join(os.path.dirname(path), "model_config.json")
     with open(cfg_path) as f:
         sidecar = json.load(f)
-    model = model_from_dict(sidecar["model"])
+    mdict = dict(sidecar["model"])
+    if parity:
+        mdict.update(compute_dtype="float32", fast_group=False,
+                     fused_sa=False, exact_selection=True)
+    model = model_from_dict(mdict)
     with ocp.StandardCheckpointer() as ckptr:
         raw = ckptr.restore(path)
     return model, raw["params"], raw.get("batch_stats", {}), path
@@ -76,13 +86,14 @@ def test_model(
     glob: str = "*.las",
     seed: int = 0,
     presampled_suffix: str = "_fps_7168",
+    parity: bool = False,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     if use_datasets is None:
         use_datasets = ["BC", "RM", "PF"]
     if use_columns is None:
         use_columns = ["intensity_normalized"]
 
-    model, params, batch_stats, path = load_model_for_eval(model_dir, model_file)
+    model, params, batch_stats, path = load_model_for_eval(model_dir, model_file, parity=parity)
     print("Using model:", path)
 
     if use_presampled:

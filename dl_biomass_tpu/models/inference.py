@@ -2,21 +2,23 @@
 
 Builds a jitted serving forward from a trained model's variables:
 
-  * BatchNorm folded into the Linear weights (eval-mode BN is affine);
-  * SA1 runs as ONE fused kernel (selection + gather + MLP + max,
-    ops/pallas_sa_fused.py) — the (B, M, K, C) edge tensors never touch HBM;
-  * SA2/SA3/head run as folded jnp matmuls over the existing kernels;
+  * BatchNorm folded into the Linear weights (eval-mode BN is affine) — the
+    flax module stack is bypassed entirely; the serving graph is a flat chain
+    of kernels + folded matmuls;
+  * selection/gather run on the production kernels (Pallas FPS, approx ball
+    query, MXU gather);
   * dropout off, deterministic FPS starts.
 
 Scope: the flagship SSG architecture (ReLU, single-scale, K=64). Falls back to
 ``model.apply`` semantics elsewhere. Numerically equivalent to
-``model.apply(variables, batch, train=False)`` with ``fast_group=True`` up to
-f32 reassociation (~1e-4 relative).
+``model.apply(variables, batch, train=False)`` up to f32 reassociation
+(~1e-4 relative).
 
-Status note (measured on v5e, B=16 x 10240): the fused-SA1 path currently ties
-or slightly trails the plain jitted eval (XLA pipelines the unfused ops well in
-eval mode) — kept as the optimization vehicle for per-tile MLP scheduling work;
-``Trainer``/``test_model`` use ``model.apply``.
+History: round 1 ran SA1 through a fully-fused eval Pallas kernel
+(ops/pallas_sa_fused.py); round-2 measurement showed this stack's Pallas HBM
+streaming is ~10x slower than XLA's (docs/ROUNDLOG.md), the fused path tied or
+trailed plain XLA eval, and the kernel was deleted — the folded-XLA chain here
+IS the fast serving path on this hardware.
 """
 
 from __future__ import annotations
@@ -28,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from dl_biomass_tpu.ops import ball_query, farthest_point_sample, gather_points, masked_max
-from dl_biomass_tpu.ops.pallas_sa_fused import fold_bn, sa_fused_eval
+
+
+def fold_bn(kernel, bias, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    """Fold an eval-mode BatchNorm into the preceding Linear's weights."""
+    inv = bn_scale / jnp.sqrt(bn_var + eps)
+    return kernel * inv[None, :], (bias - bn_mean) * inv + bn_bias
 
 
 def _folded_mlp(params: dict, stats: dict) -> List[Tuple[jax.Array, jax.Array]]:
@@ -69,7 +76,6 @@ def compile_inference(model, variables) -> Callable:
     sa2_layers = _folded_mlp(params["sa2"]["mlp"], stats["sa2"]["mlp"])
     sa3_layers = _folded_mlp(params["sa3"]["mlp"], stats["sa3"]["mlp"])
     head_layers = _folded_mlp(params["head"], stats["head"])
-    sa1_flat = [a for wb in sa1_layers for a in wb]
     r1 = model.sa1_radius * (2 if model.doubled_radius else 1)
     r2 = model.sa2_radius * (2 if model.doubled_radius else 1)
 
@@ -85,7 +91,11 @@ def compile_inference(model, variables) -> Callable:
         idx1 = farthest_point_sample(pos, mask, m1, use_pallas=model.use_pallas)
         c1 = gather_points(pos, idx1)
         cm1 = jnp.take_along_axis(mask, idx1, axis=1)
-        h1 = sa_fused_eval(c1, cm1, pos, mask, feat, sa1_flat, radius=r1)
+        nidx1, nm1 = ball_query(c1, cm1, pos, mask, radius=r1, k=64)
+        g1 = gather_points(feat, nidx1)
+        rel1 = gather_points(pos, nidx1) - c1[:, :, None, :]
+        e1 = jnp.where(nm1[..., None], jnp.concatenate([g1, rel1], axis=-1), 0.0)
+        h1 = masked_max(_run_folded(e1, sa1_layers), nm1, axis=2)
 
         idx2 = farthest_point_sample(c1, cm1, m2, use_pallas=model.use_pallas)
         c2 = gather_points(c1, idx2)

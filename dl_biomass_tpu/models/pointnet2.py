@@ -64,6 +64,10 @@ class SAModule(nn.Module):
     # VJP (ops/pallas_sa_train.py): no (B, M, K, C) tensor touches HBM inside
     # the MLP stack. Needs K=64 and a 2-hidden-layer MLP; same math as the
     # unfused path to fp tolerance.
+    exact_selection: bool = False  # parity mode: exact first-K ball query
+    # everywhere (torch_cluster semantics, reference pointnet2_regressor.py:
+    # 14-15) — the Pallas exact kernel on TPU, top_k on CPU; overrides
+    # fast_group's stratified sampling and approx_min_k's 0.95 recall
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
@@ -89,6 +93,7 @@ class SAModule(nn.Module):
         )
         use_fused = (
             self.fast_group
+            and not self.exact_selection
             and self.use_pallas
             and self.max_neighbors == 64
             and (feat is None or feat.shape[-1] <= 4)
@@ -123,9 +128,17 @@ class SAModule(nn.Module):
                     )
                     grouped = jax.lax.stop_gradient(jnp.concatenate([gfeat, rel], axis=-1))
             else:
-                nbr_idx, nbr_mask = ball_query(
-                    centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
-                )
+                if self.exact_selection and self.use_pallas and self.max_neighbors == 64:
+                    from dl_biomass_tpu.ops.pallas_ballquery import ball_query_pallas
+
+                    nbr_idx, nbr_mask = ball_query_pallas(
+                        centers, center_mask, pos, mask, radius=r, k=self.max_neighbors
+                    )
+                else:
+                    nbr_idx, nbr_mask = ball_query(
+                        centers, center_mask, pos, mask, radius=r, k=self.max_neighbors,
+                        method="exact" if self.exact_selection else "auto",
+                    )
                 use_mxu = (
                     self.use_pallas
                     and feat is not None
@@ -212,6 +225,7 @@ class PointNet2Regressor(nn.Module):
     fused_sa: bool = False  # fused SA MLP+BN+max Pallas kernels (TPU train+eval);
     # correct and parity-tested, but HBM-streaming-capped on this stack — see
     # core/config.py note
+    exact_selection: bool = False  # parity preset: exact first-K ball query
     num_outputs: int = 4
     # historical scalar-output variant (Misc/pn2_regressor_V2.py:42-44): the
     # global SA output and the head's hidden widths are doubled
@@ -233,6 +247,7 @@ class PointNet2Regressor(nn.Module):
             use_pallas=self.use_pallas,
             remat=self.remat,
             fused_sa=self.fused_sa,
+            exact_selection=self.exact_selection,
         )
         msg1 = (r1 * 2,) if self.msg else ()
         msg2 = (r2 * 2,) if self.msg else ()
@@ -297,6 +312,7 @@ def model_to_dict(model: PointNet2Regressor) -> dict:
         remat=model.remat,
         fast_group=model.fast_group,
         fused_sa=model.fused_sa,
+        exact_selection=model.exact_selection,
         num_outputs=model.num_outputs,
         global_width_mult=model.global_width_mult,
         compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
@@ -333,6 +349,7 @@ def build_model(cfg, num_features: int) -> PointNet2Regressor:
         remat=getattr(mc, "remat", False),
         fast_group=getattr(mc, "fast_group", False),
         fused_sa=getattr(mc, "fused_sa", False),
+        exact_selection=getattr(mc, "exact_selection", False),
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
     )

@@ -16,5 +16,5 @@ __all__ = [
     #   ops.pallas_group.ball_group_pallas
     #   ops.pallas_mxu_gather.mxu_gather
     #   ops.pallas_ballquery.ball_query_pallas
-    #   ops.pallas_sa_fused.sa_fused_eval
+    #   ops.pallas_sa_train.fused_sa_mlp
 ]

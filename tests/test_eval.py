@@ -105,3 +105,12 @@ class TestFigures:
         csv.write_text("0, 5.0, 6.0\n1, 4.0, 4.5\n")
         plot_mse_curves(str(csv), str(tmp_path / "curve.png"))
         assert (tmp_path / "curve.png").stat().st_size > 5000
+
+    def test_param_importances_figure(self, tmp_path):
+        """Tune-CLI bar chart (reference hyperparameter_tuning.py:276-286)."""
+        from dl_biomass_tpu.eval.plots import plot_param_importances
+
+        imp = {"lr": 0.61, "batch_size": 0.22, "num_augs": 0.12, "patience": 0.05}
+        out = plot_param_importances(imp, str(tmp_path / "imp.png"))
+        assert (tmp_path / "imp.png").stat().st_size > 5000
+        assert out == str(tmp_path / "imp.png")

@@ -7,8 +7,7 @@ import pytest
 
 from dl_biomass_tpu.core.cloud import CloudBatch
 from dl_biomass_tpu.models import PointNet2Regressor
-from dl_biomass_tpu.models.inference import _folded_mlp, compile_inference
-from dl_biomass_tpu.ops.pallas_sa_fused import fold_bn
+from dl_biomass_tpu.models.inference import _folded_mlp, compile_inference, fold_bn
 
 
 @pytest.fixture

@@ -1,0 +1,138 @@
+"""The parity preset (``TrainConfig.apply_parity`` / ``--parity``).
+
+The production defaults trade exactness for speed in three places: bf16
+activations, stratified SA1 grouping (fast_group) and approx ball query.
+The preset restores the reference's exact semantics (torch_cluster first-K
+selection, ``pointnet2_regressor.py:14-15``; f32) — these tests pin both the
+preset's wiring and the production-vs-parity prediction delta."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_biomass_tpu.core.cloud import CloudBatch
+from dl_biomass_tpu.core.config import TrainConfig
+from dl_biomass_tpu.models.pointnet2 import PointNet2Regressor, build_model
+
+
+def _batch(rng, b=2, n=512):
+    return CloudBatch(
+        pos=jnp.asarray(rng.normal(size=(b, n, 3)) * 4, jnp.float32),
+        feat=jnp.asarray(rng.normal(size=(b, n, 1)), jnp.float32),
+        mask=jnp.asarray(rng.random((b, n)) > 0.05),
+        y=jnp.zeros((b, 4), jnp.float32),
+    )
+
+
+class TestPreset:
+    def test_apply_parity_fields(self):
+        cfg = TrainConfig().apply_parity()
+        assert cfg.model.compute_dtype == "float32"
+        assert cfg.model.fast_group is False
+        assert cfg.model.fused_sa is False
+        assert cfg.model.exact_selection is True
+        # untouched knobs survive
+        assert cfg.hp.lr == TrainConfig().hp.lr
+
+    def test_apply_parity_does_not_mutate(self):
+        base = TrainConfig()
+        base.apply_parity()
+        assert base.model.compute_dtype == "bfloat16"
+        assert base.model.exact_selection is False
+
+    def test_build_model_parity(self):
+        cfg = TrainConfig().apply_parity()
+        model = build_model(cfg, num_features=1)
+        assert model.exact_selection is True
+        assert model.compute_dtype == jnp.float32
+        assert not model.fast_group and not model.fused_sa
+
+
+class TestPredictionDelta:
+    """Pin the production-vs-parity prediction delta on synthetic clouds.
+
+    On the CPU mesh the production model runs its kernels in interpret mode
+    with the same selection algorithms as on TPU (stratified fast_group,
+    bf16 activations), so the measured delta is the algorithmic one; the
+    remaining TPU-only deviation (approx_min_k recall, MXU rounding) is
+    bounded separately by the on-TPU suite (test_tpu_kernels.py)."""
+
+    def test_parity_equals_exact_reference_model(self, rng):
+        """Parity predictions == a plain exact/f32 model's to fp32 noise."""
+        batch = _batch(rng)
+        parity = build_model(TrainConfig().apply_parity(), num_features=1)
+        ref = PointNet2Regressor(num_features=1)  # all exactness defaults
+        v = parity.init({"params": jax.random.key(0)}, batch, train=False)
+        p1 = parity.apply(v, batch, train=False)
+        p2 = ref.apply(v, batch, train=False)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+    def test_production_vs_parity_delta_pinned(self, rng):
+        batch = _batch(rng)
+        cfg_prod = TrainConfig()
+        cfg_prod.model.use_pallas = "on"  # interpret-mode kernels on CPU
+        prod = build_model(cfg_prod, num_features=1)
+        parity = build_model(cfg_prod.apply_parity(), num_features=1)
+        v = parity.init({"params": jax.random.key(0)}, batch, train=False)
+        out_prod = np.asarray(prod.apply(v, batch, train=False))
+        out_par = np.asarray(parity.apply(v, batch, train=False))
+        scale = max(np.abs(out_par).max(), 1.0)
+        rel = np.abs(out_prod - out_par).max() / scale
+        # pinned envelope: bf16 activations + stratified SA1 capture measured
+        # ~1e-2 relative on this synthetic config; 5e-2 is the alarm line
+        # (a selection-semantics regression shows up at O(1))
+        assert rel < 5e-2, f"production-vs-parity rel delta {rel:.3e}"
+        assert rel > 0, "production config unexpectedly identical to parity"
+
+    def test_parity_deterministic(self, rng):
+        batch = _batch(rng)
+        parity = build_model(TrainConfig().apply_parity(), num_features=1)
+        v = parity.init({"params": jax.random.key(0)}, batch, train=False)
+        a = parity.apply(v, batch, train=False)
+        b = parity.apply(v, batch, train=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestExactSelectionRouting:
+    def test_exact_selection_matches_exact_ball_query(self, rng):
+        """exact_selection predictions match a model fed by method='exact'
+        (the pallas exact kernel and the XLA exact path agree)."""
+        batch = _batch(rng, n=256)
+        m_pallas = PointNet2Regressor(num_features=1, exact_selection=True,
+                                      use_pallas=True)
+        m_xla = PointNet2Regressor(num_features=1, exact_selection=True,
+                                   use_pallas=False)
+        v = m_xla.init({"params": jax.random.key(0)}, batch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(m_pallas.apply(v, batch, train=False)),
+            np.asarray(m_xla.apply(v, batch, train=False)),
+            atol=2e-4,
+        )
+
+    def test_eval_parity_override(self, tmp_path, rng):
+        """load_model_for_eval(parity=True) overrides the sidecar knobs."""
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from dl_biomass_tpu.eval.testing import load_model_for_eval
+        from dl_biomass_tpu.models.pointnet2 import model_to_dict
+
+        batch = _batch(rng, n=128)
+        cfg = TrainConfig()
+        cfg.model.use_pallas = "off"
+        model = build_model(cfg, num_features=1)
+        v = model.init({"params": jax.random.key(0)}, batch, train=False)
+        path = os.path.join(tmp_path, "epoch_00000")
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {"params": v["params"],
+                              "batch_stats": v.get("batch_stats", {})})
+        with open(tmp_path / "model_config.json", "w") as f:
+            json.dump({"model": model_to_dict(model)}, f)
+        m2, params, stats, _ = load_model_for_eval(str(tmp_path), parity=True)
+        assert m2.exact_selection and m2.compute_dtype == jnp.float32
+        out = m2.apply({"params": params, "batch_stats": stats}, batch, train=False)
+        assert np.isfinite(np.asarray(out)).all()
