@@ -161,6 +161,9 @@ def ball_group_pallas(
         out_shape=[jax.ShapeDtypeStruct((b, m_pad, _K), jnp.int32)]
         + [jax.ShapeDtypeStruct((b, m_pad, _K), jnp.float32)] * n_out_planes,
         interpret=interpret,
+        # the MSG second-scale instance sits 160 KB over the 16 MB scoped
+        # default (extra captured planes); v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
     )(
         plane(pos[..., 0]), plane(pos[..., 1]), plane(pos[..., 2]),
         plane(mask.astype(jnp.float32)),

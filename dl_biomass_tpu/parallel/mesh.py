@@ -12,6 +12,16 @@ a Python list of graphs, gather outputs. The TPU-native equivalent is SPMD over 
 
 No explicit collectives are written anywhere: ``jit`` + sharding annotations let
 XLA insert the all-reduces (the scaling-book recipe).
+
+Scaling caveat (honesty over marketing): ``dp`` is the production strategy —
+per-chip work is independent and the only collective is the gradient psum.
+``mp`` is correctness-tested (tests/test_parallel.py sharding-invariance) and
+exercised by the multichip dry run, but it has NOT been measured on real
+multi-chip hardware, and FPS's per-iteration global argmax forces a cross-chip
+reduction every one of its k steps — at flagship cloud sizes mp is expected to
+HURT throughput. Treat mp as the escape hatch for clouds too large for one
+chip's HBM, not as a speedup axis, until a real-hardware measurement says
+otherwise.
 """
 
 from __future__ import annotations
