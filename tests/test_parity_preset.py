@@ -95,6 +95,18 @@ class TestPredictionDelta:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestCLIFlag:
+    def test_load_cfg_applies_parity(self):
+        from types import SimpleNamespace
+
+        from dl_biomass_tpu.__main__ import _load_cfg
+
+        cfg = _load_cfg(SimpleNamespace(config=None, parity=True), [])
+        assert cfg.model.exact_selection and cfg.model.compute_dtype == "float32"
+        cfg = _load_cfg(SimpleNamespace(config=None, parity=False), ["hp.lr=0.01"])
+        assert not cfg.model.exact_selection and cfg.hp.lr == 0.01
+
+
 class TestExactSelectionRouting:
     def test_exact_selection_matches_exact_ball_query(self, rng):
         """exact_selection predictions match a model fed by method='exact'
