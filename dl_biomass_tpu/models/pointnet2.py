@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dl_biomass_tpu.models.layers import MLP, FusedSAMLP, resolve_activation
+from dl_biomass_tpu.models.layers import MLP, FusedSAMLP
 from dl_biomass_tpu.ops import ball_query, farthest_point_sample, gather_points, group_neighborhoods, masked_max
 
 

@@ -7,7 +7,6 @@ selection, ``pointnet2_regressor.py:14-15``; f32) — these tests pin both the
 preset's wiring and the production-vs-parity prediction delta."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ accurate oracle computed on the host CPU backend (CPU f32 dots are f32-grade;
 the TPU XLA default lowers f32 matmuls to single-pass bf16, so the CPU oracle
 — not an on-TPU jnp path — is the correctness standard)."""
 
-import os
-
 import numpy as np
 import pytest
 
