@@ -78,3 +78,22 @@ class TestConfig:
     def test_override_missing_value_raises(self):
         with pytest.raises(ValueError):
             TrainConfig().with_overrides(["--hp.lr"])
+
+
+class TestProductionDefaults:
+    """Pin the measured-optimal production knobs: every value below was chosen
+    by on-hardware measurement (docs/BENCHMARKS.md) — a silent flip regresses
+    the headline benchmark, so flips must be deliberate and update this test."""
+
+    def test_tuned_defaults(self):
+        from dl_biomass_tpu.core.config import TrainConfig
+
+        cfg = TrainConfig()
+        assert cfg.model.compute_dtype == "bfloat16"  # ~25% faster, equal R2
+        assert cfg.model.fast_group is True  # fused stratified SA1 grouping
+        assert cfg.model.fused_sa is False  # loses under the Pallas-DMA cap
+        assert cfg.model.exact_selection is False  # parity preset only
+        assert cfg.model.use_pallas == "auto"
+        # reference's committed best trial (main.py:38-48)
+        assert cfg.hp.num_points == 7168 and cfg.hp.batch_size == 36
+        assert cfg.hp.num_augs == 10 and cfg.hp.patience == 10
