@@ -240,7 +240,7 @@ def cmd_sweep(argv):
           f"batch={best.batch_size} -> val MSE {best.best_val_mse:.4f}")
     print(f"Study saved to {args.study_out}")
     df = study.trials_dataframe()
-    df.to_csv(args.study_out.replace(".json", "_trials.csv"), index=False)
+    df.to_csv(os.path.splitext(args.study_out)[0] + "_trials.csv", index=False)
 
 
 def cmd_tune(argv):
@@ -283,13 +283,15 @@ def cmd_tune(argv):
     print("  Value: ", study.best_value)
     for k, v in study.best_params.items():
         print(f"    {k}: {v}")
-    study.trials_dataframe().to_csv(args.study_out.replace(".json", "_trials.csv"), index=False)
+    study.trials_dataframe().to_csv(os.path.splitext(args.study_out)[0] + "_trials.csv", index=False)
     imp = study.get_param_importances()
     print("Param importances:", {k: round(v, 3) for k, v in imp.items()})
     if imp:
         from dl_biomass_tpu.eval.plots import plot_param_importances
 
-        png = args.study_out.replace(".json", "_param_importances.png")
+        # splitext, not str.replace: a suffix-less --study-out must not make the
+        # PNG path collide with (and overwrite) the study JSON written above
+        png = os.path.splitext(args.study_out)[0] + "_param_importances.png"
         plot_param_importances(imp, png)
         print(f"Wrote {png}")
 

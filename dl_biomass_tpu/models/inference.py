@@ -91,6 +91,18 @@ def compile_inference(model, variables) -> Callable:
     r1 = model.sa1_radius * (2 if model.doubled_radius else 1)
     r2 = model.sa2_radius * (2 if model.doubled_radius else 1)
 
+    def _bq(c, cmk, p, pmk, r):
+        """Selection matching SAModule's semantics (torch_cluster first-K,
+        reference pointnet2_regressor.py:14-15): the exact Pallas kernel on
+        TPU — it beats approx_min_k at SA2 scale and is exact — and exact
+        top_k off-TPU when the model demands exactness."""
+        if model.use_pallas:
+            from dl_biomass_tpu.ops.pallas_ballquery import ball_query_pallas
+
+            return ball_query_pallas(c, cmk, p, pmk, radius=r, k=64)
+        return ball_query(c, cmk, p, pmk, radius=r, k=64,
+                          method="exact" if model.exact_selection else "auto")
+
     @jax.jit
     def infer(batch):
         feat, pos, mask = batch.feat, batch.pos, batch.mask
@@ -103,7 +115,8 @@ def compile_inference(model, variables) -> Callable:
         idx1 = farthest_point_sample(pos, mask, m1, use_pallas=model.use_pallas)
         c1 = gather_points(pos, idx1)
         cm1 = jnp.take_along_axis(mask, idx1, axis=1)
-        if model.use_pallas and model.fast_group and feat.shape[-1] <= 4:
+        if (model.use_pallas and model.fast_group and feat.shape[-1] <= 4
+                and not model.exact_selection):
             # production SA1 grouping: fused stratified ball query + gather
             # (1.8 ms vs ~17 ms approx query + XLA gathers at flagship scale)
             from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
@@ -111,7 +124,7 @@ def compile_inference(model, variables) -> Callable:
             _, nm1, rel1, g1 = ball_group_pallas(c1, cm1, pos, mask, feat, radius=r1)
             e1 = jnp.concatenate([g1, rel1], axis=-1)
         else:
-            nidx1, nm1 = ball_query(c1, cm1, pos, mask, radius=r1, k=64)
+            nidx1, nm1 = _bq(c1, cm1, pos, mask, r1)
             g1 = gather_points(feat, nidx1)
             rel1 = gather_points(pos, nidx1) - c1[:, :, None, :]
             e1 = jnp.where(nm1[..., None], jnp.concatenate([g1, rel1], axis=-1), 0.0)
@@ -120,7 +133,7 @@ def compile_inference(model, variables) -> Callable:
         idx2 = farthest_point_sample(c1, cm1, m2, use_pallas=model.use_pallas)
         c2 = gather_points(c1, idx2)
         cm2 = jnp.take_along_axis(cm1, idx2, axis=1)
-        nidx, nm = ball_query(c2, cm2, c1, cm1, radius=r2, k=64)
+        nidx, nm = _bq(c2, cm2, c1, cm1, r2)
         if model.use_pallas and c1.shape[1] <= 4096:
             from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
 

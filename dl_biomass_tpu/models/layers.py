@@ -139,7 +139,12 @@ class MaskedBatchNorm(nn.Module):
             if mask is not None:
                 # sum/sumsq form: both reductions read x ONCE (XLA multi-output
                 # fusion) — the (x - mean)^2 form forces a second full pass over
-                # the huge edge tensor after the mean is known
+                # the huge edge tensor after the mean is known.
+                # Precision envelope: E[x^2]-mean^2 in f32 loses ~2^-24*mean^2
+                # absolute, so it needs |mean|/std << ~2^10 to keep var to a few
+                # percent. Post-linear activations here have |mean|/std < ~10
+                # (torch-init weights, centered inputs); the f64 interpret test
+                # (tests/test_pallas_sa_train.py) pins the semantics
                 m = jnp.expand_dims(mask, -1).astype(jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
                 xm = xf * m

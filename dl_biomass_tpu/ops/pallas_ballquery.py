@@ -4,26 +4,36 @@ TPU equivalent of the torch_cluster CUDA kernel behind ``radius(..., max_num_
 neighbors=64)`` in the reference model (``pointnet2_regressor.py:14-15``).
 
 The XLA path (ops/ballquery.py) materializes a (B, M, N) key tensor in HBM and
-runs top-k / approx_min_k over the point axis — ~50-320 ms at SA1 scale
-(B=16, M=2048, N=10240, K=64). This kernel keeps everything in VMEM:
+runs top-k / approx_min_k over the point axis — ~17-50 ms at SA1 scale
+(B=16, M=2048, N=10240, K=64). This kernel keeps everything in VMEM.
 
-  * point planes arrive pre-reshaped as (L, G) with G=128 residue buckets
-    (global index of element (l, g) = l*G + g), so per-bucket reductions are
-    clean lane operations;
-  * per 8-centroid tile: squared distances -> validity -> keys
-    (= global index where in-radius, else BIG);
-  * R rounds of bucket extraction: take each bucket's current minimum
-    (a (8, L, G) reduce), append the G minima to a candidate block, and remove
-    them with ONE elementwise compare (keys == bucket_min) — index keys are
-    unique, so removal-by-value is exact;
-  * merge: K iterations of min-extraction over the (8, R*G) candidates.
+Algorithm (round 3 — replaces the issue-bound 64-iteration ascending merge of
+the round-1/2 kernel, measured 27.7 ms -> ~10 ms at SA1 scale):
 
-Selection semantics: identical to the jnp path (first-K in-radius by point
-index, ascending) whenever no residue class holds more than R members of the
-true first-K. For K=64, G=128, R=8 and the randomly-ordered clouds this
-pipeline feeds, the exception probability is ~1e-9 per query — and when it
-fires, one in-ball neighbor is swapped for another in-ball neighbor (the
-downstream max-pool is order- and, statistically, member-invariant).
+  * layout: point planes ``(L, G)`` with G=128 residue buckets; global index
+    of element (l, g) = l*G + g, so per-bucket reductions are lane operations;
+  * the GLOBAL RANK of every in-radius point (its position in the ascending
+    first-K order) is computed directly with two prefix-count matmuls on the
+    MXU: a within-row exclusive prefix against a strictly-lower-triangular
+    (G, G) ones matrix, plus an exclusive row-prefix against an (L, L) one
+    (0/1 bf16 operands, f32 accumulation — exact integer counts);
+  * rank (capped at K) and key are packed into ONE int32
+    ``min(rank, K) << 24 | key``; R=8 extraction rounds take each bucket's
+    packed minimum (= smallest remaining key, since rank is monotone in key
+    within a bucket) — 3 vector passes per round, no per-round rank capture;
+  * scatter: output slot j is the candidate whose rank == j. The candidate
+    ranks are compared against a SUBLANE iota (K on sublanes, buckets staying
+    on lanes — no lane<->sublane relayout of bulk data), the matching key is
+    where-captured, and one final lane min-reduce compacts to (CM, K).
+    Output is ascending by construction, identical to the jnp exact path.
+
+Selection semantics: identical to the jnp exact path (first-K in-radius by
+point index, ascending) whenever no residue class holds more than R members of
+the true first-K. For K=64, G=128, R=8 and randomly-ordered clouds the
+per-query exception probability is ~4e-7 (binomial tail: some bucket drawing
+>=9 of the 64 winners); when it fires, the overflowed neighbors' slots come up
+empty (masked off) rather than swapped. The jnp path remains the oracle in
+tests; parity is asserted index-exact on random clouds.
 """
 
 from __future__ import annotations
@@ -40,31 +50,39 @@ from jax.experimental.pallas import tpu as pltpu
 from dl_biomass_tpu.core.cloud import round_up
 
 _G = 128  # residue buckets (lane width)
-_CM = 32  # centroids per tile (wider tiles amortize the extraction loops)
-_R = 8  # extraction rounds -> R*G candidates per centroid
+_CM = 32  # centroids per tile
+_R = 8  # extraction rounds -> up to R first-K members per bucket
+_KEY_BITS = 24  # packed layout: rank << 24 | key  (needs n < 2^24)
+_INT_BIG_PY = 0x7FFFFFFF  # int32 max: exceeds any packed (rank, key)
 
 
 def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
                cvalid_ref, out_ref, *, radius2: float, k: int, n: int):
     l_dim, g_dim = px_ref.shape[1], px_ref.shape[2]
-    m = cx_ref.shape[1]  # centers laid out (1, M, 1): M on the sublane dim,
-    # because Mosaic only allows dynamic slicing at sublane granularity
+    m = cx_ref.shape[1]  # centers laid out (1, M, 1): M on the sublane dim
     px, py, pz = px_ref[0], py_ref[0], pz_ref[0]  # (L, G)
     pvalid = valid_ref[0] > 0.5
-    big = jnp.int32(n)
-    # global index of element (l, g) = l*G + g
+    big_key = jnp.int32(n)
     gidx = (
         lax.broadcasted_iota(jnp.int32, (l_dim, g_dim), 0) * g_dim
         + lax.broadcasted_iota(jnp.int32, (l_dim, g_dim), 1)
     )
-    base_keys = jnp.where(pvalid & (gidx < n), gidx, big)
+    inb = pvalid & (gidx < n)  # valid, in-bounds points only: padded slots
+    # must not count toward ranks or match any centroid
 
-    kcol = lax.broadcasted_iota(jnp.int32, (_CM, k), 1)
+    # strictly-lower-triangular prefix-count matrices; 0/1 bf16 entries make
+    # the MXU products exact, f32 accumulation keeps integer sums exact
+    slt_g = (lax.broadcasted_iota(jnp.int32, (g_dim, g_dim), 0)
+             < lax.broadcasted_iota(jnp.int32, (g_dim, g_dim), 1)).astype(jnp.bfloat16)
+    slt_l = (lax.broadcasted_iota(jnp.int32, (l_dim, l_dim), 0)
+             < lax.broadcasted_iota(jnp.int32, (l_dim, l_dim), 1)).astype(jnp.bfloat16)
+
+    int_big = jnp.int32(_INT_BIG_PY)
+    kio = lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)  # K on SUBLANES
     rrow = lax.broadcasted_iota(jnp.int32, (_CM, _R, g_dim), 1)
 
     def tile(t, _):
         sl = pl.ds(pl.multiple_of(t * _CM, _CM), _CM)
-        # keep every intermediate rank>=2 (Mosaic layout assertions fire on 1-D)
         cx = cx_ref[0, sl, :][:, :, None]  # (CM,1,1)
         cy = cy_ref[0, sl, :][:, :, None]
         cz = cz_ref[0, sl, :][:, :, None]
@@ -73,31 +91,47 @@ def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
         dy = py[None] - cy
         dz = pz[None] - cz
         d2 = dx * dx + dy * dy + dz * dz
-        ok = (d2 <= radius2) & cok
-        keys = jnp.where(ok, base_keys[None], big)  # (CM, L, G)
+        ok = (d2 <= radius2) & cok & inb[None]  # (CM, L, G)
 
-        # R rounds of per-bucket minima
+        # global rank = # in-radius points with a smaller index
+        okb = ok.astype(jnp.bfloat16)
+        pre_g = jax.lax.dot_general(  # within-row exclusive prefix (lanes)
+            okb, slt_g, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CM, L, G)
+        rowcnt = jnp.sum(okb.astype(jnp.float32), axis=2)  # (CM, L)
+        pre_l = jax.lax.dot_general(  # exclusive row prefix
+            rowcnt.astype(jnp.bfloat16), slt_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CM, L)
+        rank = jnp.minimum(pre_l[:, :, None] + pre_g, jnp.float32(k))
+
+        # pack (rank, key): min over packed = smallest remaining key per bucket
+        packed = (rank.astype(jnp.int32) << _KEY_BITS) | gidx[None]
+        val = jnp.where(ok, packed, int_big)
+
         def rnd(r, carry):
-            keys, cands = carry
-            bmin = jnp.min(keys, axis=1)  # (CM, G)
-            cands = jnp.where(rrow == r, bmin[:, None, :], cands)
-            keys = jnp.where(keys == bmin[:, None, :], big, keys)
-            return keys, cands
+            val_cur, cand = carry
+            bmin = jnp.min(val_cur, axis=1)  # (CM, G)
+            cand = jnp.where(rrow == r, bmin[:, None, :], cand)
+            val_cur = jnp.where(val_cur == bmin[:, None, :], int_big, val_cur)
+            return val_cur, cand
 
-        cands0 = jnp.full((_CM, _R, g_dim), big, jnp.int32)
-        _, cands = lax.fori_loop(0, _R, rnd, (keys, cands0))
+        cand0 = jnp.full((_CM, _R, g_dim), _INT_BIG_PY, jnp.int32)
+        _, cand = lax.fori_loop(0, _R, rnd, (val, cand0))
 
-        # merge: K ascending extractions over the R*G candidates
-        def ext(i, carry):
-            cands, acc = carry
-            cur = jnp.min(jnp.min(cands, axis=2, keepdims=True), axis=1, keepdims=True)
-            acc = jnp.where(kcol == i, cur[:, :, 0], acc)  # (CM,1,1)->(CM,1)
-            cands = jnp.where(cands == cur, big, cands)
-            return cands, acc
-
-        acc0 = jnp.full((_CM, k), big, jnp.int32)
-        _, acc = lax.fori_loop(0, k, ext, (cands, acc0))
-        out_ref[0, sl, :] = acc
+        # rank-match scatter: slot j <- the candidate with rank == j.
+        # K runs on sublanes so candidate lanes (buckets) never relayout;
+        # at most one candidate matches a given (centroid, slot), so a
+        # where-capture + one final lane min-reduce replaces any summation.
+        acc = jnp.full((_CM, k, g_dim), big_key, jnp.int32)
+        for r in range(_R):
+            cand_r = lax.index_in_dim(cand, r, axis=1, keepdims=False)  # (CM, G)
+            cr = cand_r >> _KEY_BITS  # rank (>= k for exhausted/overflow)
+            ckey = cand_r & ((1 << _KEY_BITS) - 1)
+            eq = cr[:, None, :] == kio  # (CM, K, G)
+            acc = jnp.where(eq, ckey[:, None, :], acc)
+        out_ref[0, sl, :] = jnp.min(acc, axis=2)  # (CM, K) ascending
         return 0
 
     lax.fori_loop(0, m // _CM, tile, 0, unroll=False)
@@ -114,13 +148,15 @@ def ball_query_pallas(
     k: int = 64,
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Same contract as ops.ballquery.ball_query."""
+    """Same contract as ops.ballquery.ball_query (exact first-K semantics)."""
     b, m, _ = centers.shape
     n = pos.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if k > _R * _G:
-        raise ValueError(f"k={k} exceeds kernel candidate budget {_R * _G}")
+    if n >= (1 << _KEY_BITS):
+        raise ValueError(f"n={n} exceeds the packed-key budget 2^{_KEY_BITS}")
+    if k > 128:
+        raise ValueError(f"k={k} > 128 unsupported")
 
     n_pad = round_up(n, _G)
     l_dim = n_pad // _G
@@ -147,6 +183,7 @@ def ball_query_pallas(
         in_specs=[p_spec, p_spec, p_spec, p_spec, c_spec, c_spec, c_spec, c_spec],
         out_specs=pl.BlockSpec((1, m_pad, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, m_pad, k), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(px, py, pz, pv, cx, cy, cz, cv)
     out = out[:, :m]

@@ -176,7 +176,15 @@ def ball_group_pallas(
     idx = jnp.where(nbr_mask, idx_raw, 0)
     gx, gy, gz = (o[:, :m] for o in outs[1:4])
     if raw_planes:
-        return idx, nbr_mask, (gx, gy, gz), tuple(o[:, :m] for o in outs[4:])
+        # invalid slots hold the kernel's unmasked accumulated sums (the hit
+        # matrix matches every exhausted key==big entry); zero them so any
+        # non-finite garbage can't leak into downstream batch statistics even
+        # when the consumer skips its own masking
+        z = jnp.zeros((), jnp.float32)
+        gx, gy, gz = (jnp.where(nbr_mask, g, z) for g in (gx, gy, gz))
+        return idx, nbr_mask, (gx, gy, gz), tuple(
+            jnp.where(nbr_mask, o[:, :m], z) for o in outs[4:]
+        )
     rel = jnp.stack(
         [gx - centers[..., 0:1], gy - centers[..., 1:2], gz - centers[..., 2:3]], axis=-1
     )

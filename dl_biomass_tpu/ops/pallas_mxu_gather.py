@@ -164,6 +164,22 @@ def mxu_gather(
     if aux is None:
         return unpack(_core(vals_p, idx_tiles, n, interpret), c)
     c2 = aux.shape[-1]
+    if aux.dtype == jnp.float32 and not interpret and 3 * c2 <= 128:
+        # f32 aux via channel-packed mantissa chunks: [hi | mid | lo] bf16 in
+        # ONE table -> one matmul pass (the per-chunk 3-matmul split measured
+        # +4.0 ms vs +1.3 ms for a single bf16 pass at SA2 scale) and a bf16
+        # output array (half the HBM write). Reconstruction error < 2^-21
+        # relative — same bound as the sequential in-kernel split.
+        hi = aux.astype(jnp.bfloat16)
+        r1 = aux - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        packed = jnp.concatenate([hi, mid, lo], axis=-1)  # (B, N, 3*c2) bf16
+        aux_p = jnp.pad(packed, ((0, 0), (0, 0), (0, 128 - 3 * c2)))
+        out, out_aux = _core2(vals_p, aux_p, idx_tiles, n, interpret)
+        ga = unpack(out_aux, 3 * c2).astype(jnp.float32)
+        gaux = ga[..., :c2] + ga[..., c2 : 2 * c2] + ga[..., 2 * c2 :]
+        return unpack(out, c), gaux
     aux_p = jnp.pad(aux, ((0, 0), (0, 0), (0, round_up(c2, 128) - c2)))
     out, out_aux = _core2(vals_p, aux_p, idx_tiles, n, interpret)
     return unpack(out, c), unpack(out_aux, c2)
