@@ -55,6 +55,9 @@ class ModelConfig:
     remat: bool = False  # rematerialize edge MLPs in backward (memory for FLOPs)
     fast_group: bool = True  # fused stratified SA1 grouping kernel (TPU only;
     # statistically equivalent stratified ball sampling — see ops/pallas_group.py)
+    fast_fps: bool = False  # sectored multi-start FPS (ops/fps.py fps_sectored):
+    # 8x fewer sequential argmax steps in the SA layers. Off until the
+    # multi-seed accuracy study (docs/BENCHMARKS.md) justifies the default
     fused_sa: bool = False  # fused SA MLP+BN+max Pallas kernels with custom VJP
     # (ops/pallas_sa_train.py); same math as the unfused stack to fp tolerance.
     # Off by default: on this TPU stack Pallas HBM streaming runs ~10x below
@@ -63,6 +66,11 @@ class ModelConfig:
     exact_selection: bool = False  # exact first-K ball query everywhere
     # (torch_cluster semantics, reference pointnet2_regressor.py:14-15);
     # normally set via apply_parity()
+    analytic_bn: bool = False  # folded-BN MLPs: derive train-mode BN stats
+    # analytically from input moments (one MXU matmul) and fold the normalize
+    # into the producing matmul — 3R+2W -> 2R+1W of edge-tensor HBM traffic
+    # per hidden layer. Same algebra/precision envelope as the standard path
+    # (f64-pinned, models/layers.py MLP._folded)
 
 
 @dataclass
@@ -133,8 +141,10 @@ class TrainConfig:
         cfg = copy.deepcopy(self)
         cfg.model.compute_dtype = "float32"
         cfg.model.fast_group = False
+        cfg.model.fast_fps = False
         cfg.model.fused_sa = False
         cfg.model.exact_selection = True
+        cfg.model.analytic_bn = False  # keep the literal read-back BN form
         return cfg
 
     def with_overrides(self, overrides: Sequence[str]) -> "TrainConfig":

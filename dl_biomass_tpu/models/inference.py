@@ -103,6 +103,16 @@ def compile_inference(model, variables) -> Callable:
         return ball_query(c, cmk, p, pmk, radius=r, k=64,
                           method="exact" if model.exact_selection else "auto")
 
+    def _fps(p, mk, m):
+        """FPS matching SAModule: sectored production sampler when the model
+        trains with fast_fps (else the engine's centroids would diverge from
+        model.apply's), exact otherwise."""
+        if model.fast_fps and not model.exact_selection:
+            from dl_biomass_tpu.ops.fps import fps_sectored
+
+            return fps_sectored(p, mk, m, use_pallas=model.use_pallas)
+        return farthest_point_sample(p, mk, m, use_pallas=model.use_pallas)
+
     @jax.jit
     def infer(batch):
         feat, pos, mask = batch.feat, batch.pos, batch.mask
@@ -112,7 +122,7 @@ def compile_inference(model, variables) -> Callable:
         m1 = math.ceil(model.sa1_ratio * n)
         m2 = math.ceil(model.sa2_ratio * m1)
 
-        idx1 = farthest_point_sample(pos, mask, m1, use_pallas=model.use_pallas)
+        idx1 = _fps(pos, mask, m1)
         c1 = gather_points(pos, idx1)
         cm1 = jnp.take_along_axis(mask, idx1, axis=1)
         if (model.use_pallas and model.fast_group and feat.shape[-1] <= 4
@@ -130,7 +140,7 @@ def compile_inference(model, variables) -> Callable:
             e1 = jnp.where(nm1[..., None], jnp.concatenate([g1, rel1], axis=-1), 0.0)
         h1 = masked_max(_run_folded(e1, sa1_layers, compute_dtype=ct), nm1, axis=2)
 
-        idx2 = farthest_point_sample(c1, cm1, m2, use_pallas=model.use_pallas)
+        idx2 = _fps(c1, cm1, m2)
         c2 = gather_points(c1, idx2)
         cm2 = jnp.take_along_axis(cm1, idx2, axis=1)
         nidx, nm = _bq(c2, cm2, c1, cm1, r2)

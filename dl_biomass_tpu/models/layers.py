@@ -165,12 +165,26 @@ class MaskedBatchNorm(nn.Module):
 class MLP(nn.Module):
     """torch_geometric-style MLP: hidden layers Linear->BN->act->dropout, plain
     final Linear (plain_last=True). ``channels`` includes the input width, e.g.
-    ``[4, 64, 64, 128]`` mirrors ``MLP([3+F, 64, 64, 128])`` in the reference."""
+    ``[4, 64, 64, 128]`` mirrors ``MLP([3+F, 64, 64, 128])`` in the reference.
+
+    ``analytic_bn=True`` switches the hidden layers to the folded form: BN
+    statistics of ``y = x @ W + b`` are derived **analytically from input
+    moments** (``s1 = Σx``, ``M2 = XᵀX`` — one MXU matmul) instead of read-back
+    reduction passes over the (huge) output, and the normalize then folds into
+    ``(W·scale, b·scale+shift)`` so the producing matmul writes
+    normalized+activated output directly. In train mode this turns the
+    3-reads/2-writes per hidden layer (matmul write, stats read, normalize
+    read+write) into 2-reads/1-write of edge-tensor traffic — the SA MLPs are
+    HBM-bound, so this is a direct step-time win. Same algebra as the standard
+    path (exact in real arithmetic; one-pass E[x²]-mean² precision envelope is
+    identical — see MaskedBatchNorm), pinned by an f64 equivalence test.
+    """
 
     channels: Sequence[int]
     act: Optional[str] = "ReLU"
     dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
+    analytic_bn: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -183,6 +197,9 @@ class MLP(nn.Module):
         ]
         bns = [MaskedBatchNorm(num_features=w, name=f"bn{i}") for i, w in enumerate(chans[1:-1])]
 
+        if self.analytic_bn:
+            return self._folded(x, mask, lins, bns, act, train)
+
         for lin, bn in zip(lins[:-1], bns):
             x = lin(x)
             x = bn(x, mask, use_running_average=not train)
@@ -190,6 +207,59 @@ class MLP(nn.Module):
                 x = act(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return lins[-1](x)
+
+    def _folded(self, x, mask, lins, bns, act, train):
+        cdt = self.compute_dtype
+        if mask is not None:
+            mf = jnp.expand_dims(mask, -1).astype(cdt)
+            cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            # zero invalid slots so plain (unmasked) moments are the masked
+            # moments; fuses into the producer's elementwise epilogue
+            x = x.astype(cdt) * mf
+        else:
+            mf = None
+            cnt = jnp.float32(np.prod(x.shape[:-1]))
+            x = x.astype(cdt)
+
+        red = tuple(range(x.ndim - 1))
+        for lin, bn in zip(lins[:-1], bns):
+            w, b = lin.kernel_bias()  # f32 params
+            if x.shape[-1] != w.shape[0]:
+                raise ValueError(
+                    f"MLP expected {w.shape[0]} input features, got {x.shape[-1]}"
+                )
+            if train:
+                # input moments: one reduce + one MXU matmul over x (invalid
+                # slots are zero, so these ARE the masked moments); accumulate
+                # in f32 for <=f32 compute, f64 under jax_enable_x64 tests
+                acc = jnp.promote_types(cdt, jnp.float32)
+                s1 = jnp.sum(x, axis=red, dtype=acc)  # (Cin,)
+                m2 = jnp.einsum(
+                    "...i,...j->ij", x, x, preferred_element_type=acc
+                )  # (Cin, Cin)
+                ba = b.astype(acc)  # params are f32; do the algebra in acc
+                sw = s1 @ w.astype(acc)  # (Cout,)
+                mean = sw / cnt + ba
+                quad = jnp.einsum("ic,ic->c", w.astype(acc), m2 @ w.astype(acc))
+                e2 = (quad + 2.0 * ba * sw) / cnt + ba * ba  # diag(WᵀM2W)/n + ...
+                var = jnp.maximum(e2 - mean * mean, 0.0)
+                bn.update_running(mean, var, cnt)
+            else:
+                mean, var = bn.running()
+            scale, shift = bn.fold(mean, var)
+            y = jnp.dot(
+                x,
+                (w * scale[None, :]).astype(cdt),
+                preferred_element_type=jnp.promote_types(cdt, jnp.float32),
+            )
+            y = y + (b * scale + shift)
+            if act is not None:
+                y = act(y)
+            if self.dropout > 0.0:
+                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            # keep the zero contract for the next layer's moments
+            x = (y * mf if mf is not None else y).astype(cdt)
         return lins[-1](x)
 
 

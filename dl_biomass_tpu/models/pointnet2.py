@@ -60,6 +60,9 @@ class SAModule(nn.Module):
     # (ops/pallas_group.py). ONLY valid when this layer's inputs carry no
     # gradient (the first SA layer: pos/feat come straight from data) — the
     # kernel has no VJP and its outputs are stop-gradient'ed.
+    fast_fps: bool = False  # sectored multi-start FPS (ops/fps.py
+    # fps_sectored): S x fewer sequential argmax steps; production
+    # approximation, parity mode keeps exact FPS
     fused_sa: bool = False  # fused Pallas edge-MLP+BN+max kernels with custom
     # VJP (ops/pallas_sa_train.py): no (B, M, K, C) tensor touches HBM inside
     # the MLP stack. Needs K=64 and a 2-hidden-layer MLP; same math as the
@@ -68,16 +71,20 @@ class SAModule(nn.Module):
     # everywhere (torch_cluster semantics, reference pointnet2_regressor.py:
     # 14-15) — the Pallas exact kernel on TPU, top_k on CPU; overrides
     # fast_group's stratified sampling and approx_min_k's 0.95 recall
+    analytic_bn: bool = False  # folded-BN MLP path (see models/layers.py MLP)
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
         b, n, _ = pos.shape
         m = math.ceil(self.ratio * n)
 
-        if self.has_rng("fps"):
-            idx = farthest_point_sample(
-                pos, mask, m, key=self.make_rng("fps"), use_pallas=self.use_pallas
-            )
+        fps_key = self.make_rng("fps") if self.has_rng("fps") else None
+        if self.fast_fps and not self.exact_selection:
+            from dl_biomass_tpu.ops.fps import fps_sectored
+
+            idx = fps_sectored(pos, mask, m, key=fps_key, use_pallas=self.use_pallas)
+        elif fps_key is not None:
+            idx = farthest_point_sample(pos, mask, m, key=fps_key, use_pallas=self.use_pallas)
         else:
             idx = farthest_point_sample(pos, mask, m, use_pallas=self.use_pallas)
         centers = gather_points(pos, idx)
@@ -178,6 +185,7 @@ class SAModule(nn.Module):
                 self.mlp_channels,
                 act=self.act,
                 compute_dtype=self.compute_dtype,
+                analytic_bn=self.analytic_bn,
                 name=f"mlp{scale_i}" if scale_i else "mlp",
             )(grouped, nbr_mask, train)
             return masked_max(h, nbr_mask, axis=2)  # (B, M, C)
@@ -198,13 +206,13 @@ class GlobalSAModule(nn.Module):
     mlp_channels: Sequence[int]
     act: Optional[str] = "ReLU"
     compute_dtype: jnp.dtype = jnp.float32
+    analytic_bn: bool = False
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
         h = jnp.concatenate([feat, pos], axis=-1)
-        h = MLP(self.mlp_channels, act=self.act, compute_dtype=self.compute_dtype, name="mlp")(
-            h, mask, train=train
-        )
+        h = MLP(self.mlp_channels, act=self.act, compute_dtype=self.compute_dtype,
+                analytic_bn=self.analytic_bn, name="mlp")(h, mask, train=train)
         return masked_max(h, mask, axis=1)  # (B, C)
 
 
@@ -226,10 +234,14 @@ class PointNet2Regressor(nn.Module):
     msg: bool = False
     remat: bool = False
     fast_group: bool = False  # fused SA1 grouping kernel (stratified selection)
+    fast_fps: bool = False  # sectored multi-start FPS in both SA layers
     fused_sa: bool = False  # fused SA MLP+BN+max Pallas kernels (TPU train+eval);
     # correct and parity-tested, but HBM-streaming-capped on this stack — see
     # core/config.py note
     exact_selection: bool = False  # parity preset: exact first-K ball query
+    analytic_bn: bool = False  # folded-BN MLPs (models/layers.py MLP._folded):
+    # train-mode BN stats from input moments + normalize folded into the
+    # producing matmul — cuts edge-tensor HBM passes, same algebra
     num_outputs: int = 4
     # historical scalar-output variant (Misc/pn2_regressor_V2.py:42-44): the
     # global SA output and the head's hidden widths are doubled
@@ -252,6 +264,8 @@ class PointNet2Regressor(nn.Module):
             remat=self.remat,
             fused_sa=self.fused_sa,
             exact_selection=self.exact_selection,
+            analytic_bn=self.analytic_bn,
+            fast_fps=self.fast_fps,
         )
         msg1 = (r1 * 2,) if self.msg else ()
         msg2 = (r2 * 2,) if self.msg else ()
@@ -278,12 +292,14 @@ class PointNet2Regressor(nn.Module):
         gw = self.global_width_mult
         h = GlobalSAModule(
             [256 * nm * sa_mult + 3, 256 * nm, 512 * nm, 1024 * nm * gw],
-            act=act, compute_dtype=self.compute_dtype, name="sa3",
+            act=act, compute_dtype=self.compute_dtype,
+            analytic_bn=self.analytic_bn, name="sa3",
         )(h, pos, mask, train=train)
         out = MLP(
             [1024 * nm * gw, 128 * nm * gw, 128 * nm * gw, self.num_outputs],
             act=None, dropout=self.dropout_probability,
-            compute_dtype=self.compute_dtype, name="head",
+            compute_dtype=self.compute_dtype, analytic_bn=self.analytic_bn,
+            name="head",
         )(h, train=train)
         return out.astype(jnp.float32)  # predictions always f32
 
@@ -315,8 +331,10 @@ def model_to_dict(model: PointNet2Regressor) -> dict:
         msg=model.msg,
         remat=model.remat,
         fast_group=model.fast_group,
+        fast_fps=model.fast_fps,
         fused_sa=model.fused_sa,
         exact_selection=model.exact_selection,
+        analytic_bn=model.analytic_bn,
         num_outputs=model.num_outputs,
         global_width_mult=model.global_width_mult,
         compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
@@ -352,8 +370,10 @@ def build_model(cfg, num_features: int) -> PointNet2Regressor:
         msg=mc.msg,
         remat=getattr(mc, "remat", False),
         fast_group=getattr(mc, "fast_group", False),
+        fast_fps=getattr(mc, "fast_fps", False),
         fused_sa=getattr(mc, "fused_sa", False),
         exact_selection=getattr(mc, "exact_selection", False),
+        analytic_bn=getattr(mc, "analytic_bn", False),
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
     )

@@ -107,3 +107,51 @@ def farthest_point_sample(
         return fps_pallas(pos, mask, num_samples, starts)
 
     return jax.vmap(lambda p, m, s: _fps_one(p, m, num_samples, s))(pos, mask, starts)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "sectors", "use_pallas"))
+def fps_sectored(
+    pos: jax.Array,
+    mask: jax.Array,
+    num_samples: int,
+    *,
+    key: Optional[jax.Array] = None,
+    sectors: int = 8,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Sectored (multi-start) FPS — the production approximation of exact FPS.
+
+    Exact FPS is inherently sequential: k dependent argmax steps dominate the
+    SA selection cost (~2.6 us/step on v5e regardless of vector width). This
+    variant splits each cloud into ``sectors`` interleaved strided subsets
+    (point i -> sector i % S, an ~1/S uniform thinning since LAS point order is
+    scan order) and runs exact lockstep FPS per sector picking
+    ``num_samples/S`` each — S x fewer sequential iterations over the same
+    total vector work. The union of per-sector picks behaves like multi-start
+    FPS: each subset's picks spread over the whole cloud. Indices stay unique
+    (sectors are disjoint) and masked points are never picked.
+
+    Statistically equivalent in the same sense as the stratified ball grouping
+    (ops/pallas_group.py); parity mode (``exact_selection``) keeps the exact
+    sampler. Falls back to exact FPS when shapes don't sector cleanly.
+    """
+    b, n, _ = pos.shape
+    s = sectors
+    # need: even split of points and samples, and enough points per sector
+    while s > 1 and (n % s or num_samples % s or (n // s) < 2 * (num_samples // s)):
+        s //= 2
+    if s <= 1:
+        return farthest_point_sample(
+            pos, mask, num_samples, key=key, use_pallas=use_pallas
+        )
+    m = n // s
+    k_sec = num_samples // s
+    # (B, N) with N = j*s + sec  ->  (B, m, s) -> (B*s, m): sector-major rows
+    pos_s = pos.reshape(b, m, s, 3).transpose(0, 2, 1, 3).reshape(b * s, m, 3)
+    mask_s = mask.reshape(b, m, s).transpose(0, 2, 1).reshape(b * s, m)
+    sub = farthest_point_sample(
+        pos_s, mask_s, k_sec, key=key, use_pallas=use_pallas
+    )  # (B*s, k_sec) local j indices
+    sec = jnp.arange(s, dtype=jnp.int32)[None, :, None]  # (1, s, 1)
+    glob = sub.reshape(b, s, k_sec) * s + sec  # local j -> global j*s + sec
+    return glob.reshape(b, num_samples)
