@@ -189,7 +189,8 @@ def cmd_resample(argv):
     p.add_argument("--num-points", type=int, default=7168)
     p.add_argument("--method", choices=["random", "fps", "voxel"], default="fps")
     p.add_argument("--format", choices=["parquet", "las"], default="parquet")
-    p.add_argument("--engine", choices=["auto", "tpu", "native", "numpy"], default="auto")
+    p.add_argument("--engine", choices=["auto", "tpu", "native", "numpy", "sectored"],
+                   default="auto")
     p.add_argument("--check", action="store_true", help="render 4 random outputs")
     args = p.parse_args(argv)
 
@@ -382,8 +383,29 @@ def cmd_parity_check(argv):
     print(f"parity OK: max relative delta {d:.2e}")
 
 
+def cmd_seed_study(argv):
+    p = argparse.ArgumentParser(prog="seed-study")
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--modes", default="production,production+fast_fps,parity")
+    p.add_argument("--num-plots", type=int, default=288)
+    p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--max-epochs", type=int, default=40)
+    p.add_argument("--out", default="seed_study.json")
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.experiments.seed_study import run_seed_study
+
+    run_seed_study(
+        list(range(args.seeds)), args.modes.split(","),
+        num_plots=args.num_plots, n_points=args.num_points,
+        max_epochs=args.max_epochs, out_json=args.out,
+    )
+    print(f"wrote {args.out}")
+
+
 COMMANDS = {
     "train": cmd_train,
+    "seed-study": cmd_seed_study,
     "evaluate": cmd_evaluate,
     "resample": cmd_resample,
     "sweep": cmd_sweep,

@@ -55,9 +55,10 @@ class ModelConfig:
     remat: bool = False  # rematerialize edge MLPs in backward (memory for FLOPs)
     fast_group: bool = True  # fused stratified SA1 grouping kernel (TPU only;
     # statistically equivalent stratified ball sampling — see ops/pallas_group.py)
-    fast_fps: bool = False  # sectored multi-start FPS (ops/fps.py fps_sectored):
-    # 8x fewer sequential argmax steps in the SA layers. Off until the
-    # multi-seed accuracy study (docs/BENCHMARKS.md) justifies the default
+    fast_fps: bool = True  # sectored multi-start FPS (ops/fps.py fps_sectored):
+    # 8x fewer sequential argmax steps in the SA layers. Production default per
+    # the 5-seed study (seed_study_r3.json / docs/BENCHMARKS.md): R2
+    # 0.914+-0.032 vs parity's 0.912+-0.031, no diverged seeds, faster steps
     fused_sa: bool = False  # fused SA MLP+BN+max Pallas kernels with custom VJP
     # (ops/pallas_sa_train.py); same math as the unfused stack to fp tolerance.
     # Off by default: on this TPU stack Pallas HBM streaming runs ~10x below

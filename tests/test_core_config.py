@@ -91,6 +91,8 @@ class TestProductionDefaults:
         cfg = TrainConfig()
         assert cfg.model.compute_dtype == "bfloat16"  # ~25% faster, equal R2
         assert cfg.model.fast_group is True  # fused stratified SA1 grouping
+        assert cfg.model.fast_fps is True  # sectored FPS: parity-level R2
+        # across 5 seeds (seed_study_r3.json), 8x fewer sequential iterations
         assert cfg.model.fused_sa is False  # loses under the Pallas-DMA cap
         assert cfg.model.exact_selection is False  # parity preset only
         assert cfg.model.use_pallas == "auto"
