@@ -131,7 +131,8 @@ def compile_inference(model, variables) -> Callable:
             # (1.8 ms vs ~17 ms approx query + XLA gathers at flagship scale)
             from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
 
-            _, nm1, rel1, g1 = ball_group_pallas(c1, cm1, pos, mask, feat, radius=r1)
+            _, nm1, rel1, g1 = ball_group_pallas(c1, cm1, pos, mask, feat, radius=r1,
+                                                 compute_dtype=ct)
             e1 = jnp.concatenate([g1, rel1], axis=-1)
         else:
             nidx1, nm1 = _bq(c1, cm1, pos, mask, r1)

@@ -122,16 +122,19 @@ class SAModule(nn.Module):
                     # end-to-end plane pipeline: the grouping kernel's raw
                     # captured planes feed the fused MLP kernels directly —
                     # no (B, M, K, C) edge tensor exists anywhere at SA1
-                    _, nbr_mask, gpos_planes, feat_planes = ball_group_pallas(
+                    # (coord planes come out already centroid-relative)
+                    _, nbr_mask, rel_planes, feat_planes = ball_group_pallas(
                         centers, center_mask, pos, mask, feat, radius=r,
                         raw_planes=True,
                     )
-                    planes = list(feat_planes) + [
-                        gp - centers[..., c : c + 1] for c, gp in enumerate(gpos_planes)
-                    ]
+                    planes = list(feat_planes) + list(rel_planes)
                 else:
+                    # bf16 plane stores in production: the kernel's output DMA
+                    # is its bottleneck and the MLP casts edges to the compute
+                    # dtype anyway (bit-identical inputs, half the DMA)
                     _, nbr_mask, rel, gfeat = ball_group_pallas(
-                        centers, center_mask, pos, mask, feat, radius=r
+                        centers, center_mask, pos, mask, feat, radius=r,
+                        compute_dtype=self.compute_dtype,
                     )
                     grouped = jax.lax.stop_gradient(jnp.concatenate([gfeat, rel], axis=-1))
             else:

@@ -93,14 +93,21 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int):
         planes = jnp.stack([pr[0] for pr in plane_refs])  # (P, L, G)
         cap = jnp.sum(hit[None] * planes[:, None], axis=2)  # (P, CM, G)
         cap = cap[:, :, :_K] + cap[:, :, _K:]  # (P, CM, K)
+        # coord planes leave the kernel CENTERED (pos_j - pos_i): relative
+        # values are small, so the store dtype (bf16 in production) loses no
+        # precision vs the old store-absolute-then-subtract-outside path —
+        # and the output DMA is the kernel's bottleneck (26 GB/s cap), so
+        # halving it matters more than the 3 subtracts
+        centers_t = (cx[:, :, 0], cy[:, :, 0], cz[:, :, 0])  # (CM, 1)
         for pi, outr in enumerate(out_plane_refs):
-            outr[0, sl, :] = cap[pi]
+            v = cap[pi] - centers_t[pi] if pi < 3 else cap[pi]
+            outr[0, sl, :] = v.astype(outr.dtype)
         return 0
 
     lax.fori_loop(0, m // _CM, tile, 0, unroll=False)
 
 
-@partial(jax.jit, static_argnames=("radius", "interpret", "raw_planes"))
+@partial(jax.jit, static_argnames=("radius", "interpret", "raw_planes", "compute_dtype"))
 def ball_group_pallas(
     centers: jax.Array,  # (B, M, 3)
     center_mask: jax.Array,  # (B, M)
@@ -111,25 +118,33 @@ def ball_group_pallas(
     radius: float,
     interpret: bool | None = None,
     raw_planes: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, ...]:
     """Fused stratified ball query + gather.
 
     Returns:
       idx:      (B, M, 64) int32 neighbor indices (0 where invalid)
       nbr_mask: (B, M, 64) bool
-      rel:      (B, M, 64, 3) f32 gathered positions relative to each centroid
-      gfeat:    (B, M, 64, F) f32 gathered features (F = feat planes captured)
+      rel:      (B, M, 64, 3) gathered positions relative to each centroid
+      gfeat:    (B, M, 64, F) gathered features (F = feat planes captured)
+
+    ``compute_dtype`` sets the captured-plane store dtype: the kernel's output
+    DMA is its bottleneck (26 GB/s Pallas cap), and the SA MLP casts its edge
+    inputs to the compute dtype anyway, so bf16 stores halve the DMA while
+    feeding the MLP bit-identical values (rel is centered in-kernel, so its
+    small values round cleanly).
 
     ``raw_planes=True`` skips the channel stacking and returns
-    ``(idx, nbr_mask, (gx, gy, gz), feat_planes)`` with each plane (B, M, 64)
-    exactly as the kernel wrote it — the layout the fused SA MLP kernels
-    consume (ops/pallas_sa_train.py), avoiding the 3-wide minor-dim arrays
-    that pad to 128 lanes in HBM.
+    ``(idx, nbr_mask, (rx, ry, rz), feat_planes)`` with each plane (B, M, 64)
+    exactly as the kernel wrote it (coords already centroid-relative) — the
+    layout the fused SA MLP kernels consume (ops/pallas_sa_train.py), avoiding
+    the 3-wide minor-dim arrays that pad to 128 lanes in HBM.
     """
     b, m, _ = centers.shape
     n = pos.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    out_dt = jnp.dtype(compute_dtype)
 
     n_pad = round_up(n, _G)
     l_dim = n_pad // _G
@@ -159,7 +174,7 @@ def ball_group_pallas(
         in_specs=[p_spec] * (4 + f_dim) + [c_spec] * 4,
         out_specs=[o_spec] * (1 + n_out_planes),
         out_shape=[jax.ShapeDtypeStruct((b, m_pad, _K), jnp.int32)]
-        + [jax.ShapeDtypeStruct((b, m_pad, _K), jnp.float32)] * n_out_planes,
+        + [jax.ShapeDtypeStruct((b, m_pad, _K), out_dt)] * n_out_planes,
         interpret=interpret,
         # the MSG second-scale instance sits 160 KB over the 16 MB scoped
         # default (extra captured planes); v5e has 128 MB of VMEM
@@ -174,24 +189,22 @@ def ball_group_pallas(
     idx_raw = outs[0][:, :m]
     nbr_mask = idx_raw < n
     idx = jnp.where(nbr_mask, idx_raw, 0)
-    gx, gy, gz = (o[:, :m] for o in outs[1:4])
+    rx, ry, rz = (o[:, :m] for o in outs[1:4])  # centroid-relative coords
+    z = jnp.zeros((), out_dt)
     if raw_planes:
         # invalid slots hold the kernel's unmasked accumulated sums (the hit
         # matrix matches every exhausted key==big entry); zero them so any
         # non-finite garbage can't leak into downstream batch statistics even
         # when the consumer skips its own masking
-        z = jnp.zeros((), jnp.float32)
-        gx, gy, gz = (jnp.where(nbr_mask, g, z) for g in (gx, gy, gz))
-        return idx, nbr_mask, (gx, gy, gz), tuple(
+        rx, ry, rz = (jnp.where(nbr_mask, g, z) for g in (rx, ry, rz))
+        return idx, nbr_mask, (rx, ry, rz), tuple(
             jnp.where(nbr_mask, o[:, :m], z) for o in outs[4:]
         )
-    rel = jnp.stack(
-        [gx - centers[..., 0:1], gy - centers[..., 1:2], gz - centers[..., 2:3]], axis=-1
-    )
-    rel = jnp.where(nbr_mask[..., None], rel, 0.0)
+    rel = jnp.stack([rx, ry, rz], axis=-1)
+    rel = jnp.where(nbr_mask[..., None], rel, z)
     if f_dim:
         gfeat = jnp.stack([o[:, :m] for o in outs[4:]], axis=-1)
-        gfeat = jnp.where(nbr_mask[..., None], gfeat, 0.0)
+        gfeat = jnp.where(nbr_mask[..., None], gfeat, z)
     else:
-        gfeat = jnp.zeros((b, m, _K, 0), jnp.float32)
+        gfeat = jnp.zeros((b, m, _K, 0), out_dt)
     return idx, nbr_mask, rel, gfeat
