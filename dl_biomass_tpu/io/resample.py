@@ -54,6 +54,22 @@ def farthest_point_sampling(coords: np.ndarray, k: int, engine: str = "auto") ->
         )
     if engine == "numpy":
         return fps_numpy(coords, np.ones(n, bool), k, start=0)
+    if engine == "sectored":
+        # opt-in approximation (VERDICT round-2 item 6): sectored multi-start
+        # FPS — S x fewer sequential iterations; exact semantics stay the
+        # default. See ops/fps.py fps_sectored for the statistical argument.
+        import jax
+        import jax.numpy as jnp
+
+        from dl_biomass_tpu.ops.fps import fps_sectored
+
+        pos = jnp.asarray(coords, jnp.float32)[None]
+        mask = np.ones((1, n), bool)
+        use_pallas = jax.default_backend() == "tpu"
+        idx = np.asarray(
+            fps_sectored(pos, jnp.asarray(mask), k, use_pallas=use_pallas)[0]
+        )
+        return np.sort(idx)
     raise ValueError(f"unknown engine {engine!r}")
 
 

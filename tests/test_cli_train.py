@@ -29,6 +29,7 @@ def corpus(tmp_path, rng):
     return tmp_path
 
 
+@pytest.mark.slow  # ~1 min: full CLI train subprocess on a tiny corpus
 def test_cli_train_end_to_end(corpus, tmp_path):
     env = dict(
         os.environ,

@@ -123,3 +123,56 @@ class TestReferenceHelpers:
         v = np.asarray([0, 50, 100])
         out = normalize_intensity(v)
         np.testing.assert_allclose(out, [0.0, 10.0, 20.0])
+
+
+class TestLazGate:
+    """LAZ path: optional laspy[lazrs] delegation (reference reads whatever
+    laspy supports, pointcloud_dataloader.py:22)."""
+
+    def _make_laz_stub(self, tmp_path, cloud):
+        coords, intensity = cloud
+        path = str(tmp_path / "c.las")
+        write_las(coords, path, {"intensity": intensity})
+        raw = bytearray(open(path, "rb").read())
+        raw[104] |= 0x80  # set the LAZ compression bit
+        lazp = str(tmp_path / "c.laz")
+        open(lazp, "wb").write(bytes(raw))
+        return lazp, coords, intensity
+
+    def test_informative_error_without_laspy(self, tmp_path, cloud):
+        import pytest
+
+        lazp, _, _ = self._make_laz_stub(tmp_path, cloud)
+        with pytest.raises(ValueError, match="laspy"):
+            read_las(lazp)
+
+    def test_delegates_to_laspy_when_available(self, tmp_path, cloud, monkeypatch):
+        import sys
+        import types
+
+        lazp, coords, intensity = self._make_laz_stub(tmp_path, cloud)
+
+        class FakePointFormat:
+            dimension_names = ["X", "Y", "Z", "intensity"]
+
+        class FakeLas:
+            x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+            points = np.zeros(len(coords))
+            point_format = FakePointFormat()
+
+            def __getitem__(self, name):
+                # laspy exposes raw integer X/Y/Z plus named dims
+                table = {
+                    "X": (coords[:, 0] * 1000).astype(np.int64),
+                    "Y": (coords[:, 1] * 1000).astype(np.int64),
+                    "Z": (coords[:, 2] * 1000).astype(np.int64),
+                    "intensity": intensity,
+                }
+                return table[name]
+
+        fake = types.ModuleType("laspy")
+        fake.read = lambda p: FakeLas()
+        monkeypatch.setitem(sys.modules, "laspy", fake)
+        out, attrs = read_las(lazp, get_attributes=True, filter_height=0)
+        np.testing.assert_allclose(out, coords)
+        np.testing.assert_array_equal(attrs["intensity"], intensity)

@@ -1,6 +1,7 @@
 """Sequential training objective: study integration, pruning, search space."""
 
 import numpy as np
+import pytest
 
 from dl_biomass_tpu.core.config import HyperParams, TrainConfig
 from dl_biomass_tpu.io.device_data import DeviceDataset
@@ -9,6 +10,7 @@ from dl_biomass_tpu.sweep import RandomSampler, TrialState, create_study
 from dl_biomass_tpu.sweep.objective import make_training_objective
 
 
+@pytest.mark.slow  # ~1 min: multi-trial studies with real training loops
 def test_training_objective_runs_trials():
     pos, feat, y, ids = synthetic_dataset(8, 128, seed=0)
     ds = DeviceDataset.from_clouds(pos, feat, y, ids, base_n=128)

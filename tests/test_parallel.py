@@ -109,6 +109,7 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape == (8, 4)
 
+    @pytest.mark.slow  # ~3 min: 20 train steps on the dp x mp virtual mesh
     def test_dryrun_multichip(self, capsys):
         import __graft_entry__ as g
 

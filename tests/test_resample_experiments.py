@@ -37,6 +37,12 @@ class TestFPSEngines:
         idx = farthest_point_sampling(coords, 10, engine="numpy")
         assert idx[0] == 0  # reference seeds at index 0
 
+    def test_sectored_engine_valid(self, rng):
+        coords = rng.normal(size=(512, 3)) * 10
+        idx = farthest_point_sampling(coords, 64, engine="sectored")
+        assert len(idx) == 64 and len(set(idx.tolist())) == 64
+        assert idx.min() >= 0 and idx.max() < 512
+
     def test_voxel_downsample(self):
         coords = np.asarray([[0.0, 0, 0], [0.01, 0, 0], [5, 5, 5], [5.01, 5, 5]])
         idx = voxel_downsample(coords, 1.0)
