@@ -103,14 +103,16 @@ def bench_config1() -> None:
     key = jax.random.key(1)
 
     def epoch(ep, state):
-        clouds = 0
+        counts = []
         loss = None
         for i, batch in enumerate(ds.batches(b, key=jax.random.fold_in(key, ep),
                                              num_augs=2, shuffle=True)):
             state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, ep * 1000 + i))
-            clouds += int(np.asarray(jnp.sum(jnp.any(batch.mask, axis=1))))
+            counts.append(jnp.sum(jnp.any(batch.mask, axis=1)))
+        # one host sync per epoch (matches Trainer.train_epoch) — a per-step
+        # transfer would serialize dispatch and measure latency, not throughput
         float(loss)
-        return state, clouds
+        return state, int(sum(int(c) for c in counts))
 
     state, _ = epoch(0, state)  # warm/compile
     t0 = time.perf_counter()
@@ -298,21 +300,28 @@ def main() -> None:
         eval_dt = min(eval_dt, (time.perf_counter() - t0) / TIMED_STEPS)
 
     # serving engine (models/inference.py): BN/bias folded into the matmuls —
-    # the path a production deployment would run, and the headline number
-    from dl_biomass_tpu.models.inference import compile_inference
-
-    infer_fn = compile_inference(
-        model, {"params": state.params, "batch_stats": state.batch_stats}
-    )
-    float(jnp.sum(infer_fn(batch)))
+    # the path a production deployment would run, and the headline number.
+    # Guarded: a remote-compile-service failure on the engine's (uncached)
+    # computation must not sink the whole benchmark — fall back to _eval_step.
     engine_dt = float("inf")
-    for rep in range(REPEATS):
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(TIMED_STEPS):
-            outs.append(infer_fn(batch))
-        float(sum(jnp.sum(o) for o in outs))
-        engine_dt = min(engine_dt, (time.perf_counter() - t0) / TIMED_STEPS)
+    try:
+        from dl_biomass_tpu.models.inference import compile_inference
+
+        infer_fn = compile_inference(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        float(jnp.sum(infer_fn(batch)))
+        for rep in range(REPEATS):
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(TIMED_STEPS):
+                outs.append(infer_fn(batch))
+            float(sum(jnp.sum(o) for o in outs))
+            engine_dt = min(engine_dt, (time.perf_counter() - t0) / TIMED_STEPS)
+    except Exception as e:  # pragma: no cover - env-dependent
+        import sys
+
+        print(f"engine path unavailable ({e}); using _eval_step", file=sys.stderr)
     infer_dt = min(eval_dt, engine_dt)
     infer_cps = B / infer_dt
 
@@ -327,7 +336,9 @@ def main() -> None:
                 "infer_clouds_per_sec": round(infer_cps, 2),
                 "train_ms_per_step": round(train_dt * 1000, 2),
                 "infer_ms_per_step": round(infer_dt * 1000, 2),
-                "infer_engine_ms": round(engine_dt * 1000, 2),
+                "infer_engine_ms": (
+                    round(engine_dt * 1000, 2) if engine_dt != float("inf") else None
+                ),
                 "infer_eval_step_ms": round(eval_dt * 1000, 2),
                 "batch": B,
                 "points_per_cloud": N,
