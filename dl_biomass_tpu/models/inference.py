@@ -113,8 +113,14 @@ def compile_inference(model, variables) -> Callable:
             return fps_sectored(p, mk, m, use_pallas=model.use_pallas)
         return farthest_point_sample(p, mk, m, use_pallas=model.use_pallas)
 
+    # the folded weights are passed as ARGUMENTS, not closure captures: a
+    # captured jnp array becomes an HLO literal, and ~1M params of literals
+    # made the remote compile service pathologically slow (13+ min vs ~1 min
+    # for the same graph with parameters); arguments also let a weight refresh
+    # reuse the compiled executable
     @jax.jit
-    def infer(batch):
+    def infer(folded, batch):
+        sa1_layers, sa2_layers, sa3_layers, head_layers = folded
         feat, pos, mask = batch.feat, batch.pos, batch.mask
         if feat.shape[-1] == 0:
             feat = pos
@@ -159,4 +165,13 @@ def compile_inference(model, variables) -> Callable:
         h3 = masked_max(_run_folded(g, sa3_layers, compute_dtype=ct), cm2, axis=1)
         return _run_folded(h3, head_layers, act=False, compute_dtype=ct).astype(jnp.float32)
 
-    return infer
+    folded = (tuple(sa1_layers), tuple(sa2_layers), tuple(sa3_layers),
+              tuple(head_layers))
+
+    # weights-as-arguments also means the persistent compilation cache keys on
+    # the GRAPH alone: any same-shape engine (new checkpoint, new process)
+    # reuses the cached executable instead of recompiling per weight set
+    def serve(batch):
+        return infer(folded, batch)
+
+    return serve
