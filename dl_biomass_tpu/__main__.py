@@ -418,6 +418,15 @@ COMMANDS = {
 
 
 def main(argv=None):
+    # honor an explicit JAX_PLATFORMS from the environment at CONFIG level:
+    # this host's sitecustomize pins jax_platforms="axon,cpu" via
+    # jax.config.update, which MASKS the env var — so a caller exporting
+    # JAX_PLATFORMS=cpu (tests, offline preprocessing) would still hit the
+    # axon tunnel, and a dark tunnel hangs forever instead of falling back
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
