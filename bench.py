@@ -250,9 +250,34 @@ def bench_config4() -> None:
     }))
 
 
+def _require_device(timeout_s: int = 180) -> None:
+    """Fail fast instead of hanging forever when the axon tunnel is dark.
+
+    A dead tunnel makes even ``jax.devices()`` block indefinitely (observed
+    round 3: multi-hour outage, main thread parked in nanosleep). Backend
+    init in a daemon thread + bounded join turns that into a clean nonzero
+    exit the driver can see."""
+    import os
+    import sys
+    import threading
+
+    ok = []
+    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            f"FATAL: backend did not initialize within {timeout_s}s "
+            "(axon tunnel down?) — no measurement possible",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _require_device()
 
     from dl_biomass_tpu.core.config import HyperParams, TrainConfig
     from dl_biomass_tpu.models.pointnet2 import build_model
@@ -361,6 +386,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1].startswith("--config"):
         # BASELINE.json "configs" rows: bench.py --config N (0..4)
         n = int(sys.argv[1].split("=")[-1]) if "=" in sys.argv[1] else int(sys.argv[2])
+        if n != 0:  # config 0 is CPU-only by definition
+            _require_device()
         [bench_config0, bench_config1, bench_config2, bench_config3,
          bench_config4][n]()
     else:
