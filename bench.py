@@ -26,7 +26,13 @@ import numpy as np
 
 REFERENCE_GPU_CLOUDS_PER_SEC = 50.0
 
-B = 16  # clouds per step
+# Headline batch = 36, the reference's OWN operating point (main.py:41; its HP
+# search spans 8-40). Per-step fixed cost (~1.7 ms: sequential FPS argmax
+# chain + kernel-launch floors) is batch-invariant and amortizes with batch —
+# measured ms-per-16-clouds: 33.7 at B=16 vs 31.4 at B=36 (tools/batch_sweep).
+# B=16 (rounds 1-2's reporting point) is still measured and reported alongside.
+B_HEAD = 36  # clouds per step (headline)
+B = 16  # rounds 1-2 reporting point; also the config-row batch
 N = 10240  # ~10k pts, lane-aligned
 TIMED_STEPS = 8
 REPEATS = 3  # best-of: the axon tunnel adds ~10% run-to-run drift
@@ -274,23 +280,18 @@ def _require_device(timeout_s: int = 180) -> None:
         os._exit(3)
 
 
-def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    _require_device()
-
+def _measure_point(b: int, with_engine: bool = True) -> dict:
+    """Train/eval/engine timings at batch ``b`` (best-of-REPEATS windows)."""
     from dl_biomass_tpu.core.config import HyperParams, TrainConfig
     from dl_biomass_tpu.models.pointnet2 import build_model
     from dl_biomass_tpu.train.trainer import Trainer
 
     rng = np.random.default_rng(0)
-    batch = _make_batch(rng, B, N)
-
-    cfg = TrainConfig(hp=HyperParams(batch_size=B))
+    batch = _make_batch(rng, b, N)
+    cfg = TrainConfig(hp=HyperParams(batch_size=b))
     model = build_model(cfg, num_features=1)
     trainer = Trainer(model, cfg)
     state = trainer.init_state(jax.random.key(0), batch)
-
     key = jax.random.key(1)
 
     # warmup / compile. NOTE: on this backend block_until_ready returns before
@@ -307,7 +308,6 @@ def main() -> None:
             state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, i))
         float(loss)  # all steps chain through `state`; reading the last syncs all
         train_dt = min(train_dt, (time.perf_counter() - t0) / TIMED_STEPS)
-    train_cps = B / train_dt
 
     # inference: device executes queued programs in order, so syncing the last
     # call's output (a real host transfer) bounds all of them — same
@@ -325,31 +325,47 @@ def main() -> None:
         eval_dt = min(eval_dt, (time.perf_counter() - t0) / TIMED_STEPS)
 
     # serving engine (models/inference.py): BN/bias folded into the matmuls —
-    # the path a production deployment would run, and the headline number.
+    # the path a production deployment would run.
     # Guarded: a remote-compile-service failure on the engine's (uncached)
     # computation must not sink the whole benchmark — fall back to _eval_step.
     engine_dt = float("inf")
-    try:
-        from dl_biomass_tpu.models.inference import compile_inference
+    if with_engine:
+        try:
+            from dl_biomass_tpu.models.inference import compile_inference
 
-        infer_fn = compile_inference(
-            model, {"params": state.params, "batch_stats": state.batch_stats}
-        )
-        float(jnp.sum(infer_fn(batch)))
-        for rep in range(REPEATS):
-            t0 = time.perf_counter()
-            outs = []
-            for i in range(TIMED_STEPS):
-                outs.append(infer_fn(batch))
-            float(sum(jnp.sum(o) for o in outs))
-            engine_dt = min(engine_dt, (time.perf_counter() - t0) / TIMED_STEPS)
-    except Exception as e:  # pragma: no cover - env-dependent
-        import sys
+            infer_fn = compile_inference(
+                model, {"params": state.params, "batch_stats": state.batch_stats}
+            )
+            float(jnp.sum(infer_fn(batch)))
+            for rep in range(REPEATS):
+                t0 = time.perf_counter()
+                outs = []
+                for i in range(TIMED_STEPS):
+                    outs.append(infer_fn(batch))
+                float(sum(jnp.sum(o) for o in outs))
+                engine_dt = min(engine_dt, (time.perf_counter() - t0) / TIMED_STEPS)
+        except Exception as e:  # pragma: no cover - env-dependent
+            import sys
 
-        print(f"engine path unavailable ({e}); using _eval_step", file=sys.stderr)
-    infer_dt = min(eval_dt, engine_dt)
-    infer_cps = B / infer_dt
+            print(f"engine path unavailable ({e}); using _eval_step", file=sys.stderr)
+    return {
+        "train_dt": train_dt,
+        "eval_dt": eval_dt,
+        "engine_dt": engine_dt,
+        "infer_dt": min(eval_dt, engine_dt),
+    }
 
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _require_device()
+
+    head = _measure_point(B_HEAD, with_engine=True)
+    alt = _measure_point(B, with_engine=False)
+
+    train_cps = B_HEAD / head["train_dt"]
+    infer_cps = B_HEAD / head["infer_dt"]
     value = round(train_cps, 2)
     print(
         json.dumps(
@@ -359,13 +375,26 @@ def main() -> None:
                 "unit": "clouds/s",
                 "vs_baseline": round(value / REFERENCE_GPU_CLOUDS_PER_SEC, 3),
                 "infer_clouds_per_sec": round(infer_cps, 2),
-                "train_ms_per_step": round(train_dt * 1000, 2),
-                "infer_ms_per_step": round(infer_dt * 1000, 2),
+                "train_ms_per_step": round(head["train_dt"] * 1000, 2),
+                "infer_ms_per_step": round(head["infer_dt"] * 1000, 2),
                 "infer_engine_ms": (
-                    round(engine_dt * 1000, 2) if engine_dt != float("inf") else None
+                    round(head["engine_dt"] * 1000, 2)
+                    if head["engine_dt"] != float("inf") else None
                 ),
-                "infer_eval_step_ms": round(eval_dt * 1000, 2),
-                "batch": B,
+                "infer_eval_step_ms": round(head["eval_dt"] * 1000, 2),
+                "batch": B_HEAD,
+                "batch_note": (
+                    "headline at the reference's own operating point "
+                    "(batch 36, main.py:41); per-step fixed cost ~1.7 ms is "
+                    "batch-invariant — the b16 block is rounds 1-2's "
+                    "reporting point for progression comparability"
+                ),
+                "b16": {
+                    "train_clouds_per_sec": round(B / alt["train_dt"], 2),
+                    "train_ms_per_step": round(alt["train_dt"] * 1000, 2),
+                    "infer_clouds_per_sec": round(B / alt["infer_dt"], 2),
+                    "infer_ms_per_step": round(alt["infer_dt"] * 1000, 2),
+                },
                 "points_per_cloud": N,
                 "device": str(jax.devices()[0]),
                 "baseline_estimate_note": "reference GPU est. 50 clouds/s (see module docstring)",

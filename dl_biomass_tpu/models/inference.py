@@ -138,7 +138,7 @@ def compile_inference(model, variables) -> Callable:
             from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
 
             _, nm1, rel1, g1 = ball_group_pallas(c1, cm1, pos, mask, feat, radius=r1,
-                                                 compute_dtype=ct)
+                                                 compute_dtype=ct, need_idx=False)
             e1 = jnp.concatenate([g1, rel1], axis=-1)
         else:
             nidx1, nm1 = _bq(c1, cm1, pos, mask, r1)

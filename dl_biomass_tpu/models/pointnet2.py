@@ -125,7 +125,7 @@ class SAModule(nn.Module):
                     # (coord planes come out already centroid-relative)
                     _, nbr_mask, rel_planes, feat_planes = ball_group_pallas(
                         centers, center_mask, pos, mask, feat, radius=r,
-                        raw_planes=True,
+                        raw_planes=True, need_idx=False,
                     )
                     planes = list(feat_planes) + list(rel_planes)
                 else:
@@ -134,7 +134,7 @@ class SAModule(nn.Module):
                     # dtype anyway (bit-identical inputs, half the DMA)
                     _, nbr_mask, rel, gfeat = ball_group_pallas(
                         centers, center_mask, pos, mask, feat, radius=r,
-                        compute_dtype=self.compute_dtype,
+                        compute_dtype=self.compute_dtype, need_idx=False,
                     )
                     grouped = jax.lax.stop_gradient(jnp.concatenate([gfeat, rel], axis=-1))
             else:

@@ -57,7 +57,8 @@ _INT_BIG_PY = 0x7FFFFFFF  # int32 max: exceeds any packed (rank, key)
 
 
 def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
-               cvalid_ref, out_ref, *, radius2: float, k: int, n: int):
+               cvalid_ref, out_ref, *, radius2: float, k: int, n: int,
+               cm: int = _CM):
     l_dim, g_dim = px_ref.shape[1], px_ref.shape[2]
     m = cx_ref.shape[1]  # centers laid out (1, M, 1): M on the sublane dim
     px, py, pz = px_ref[0], py_ref[0], pz_ref[0]  # (L, G)
@@ -79,10 +80,10 @@ def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
 
     int_big = jnp.int32(_INT_BIG_PY)
     kio = lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)  # K on SUBLANES
-    rrow = lax.broadcasted_iota(jnp.int32, (_CM, _R, g_dim), 1)
+    rrow = lax.broadcasted_iota(jnp.int32, (cm, _R, g_dim), 1)
 
     def tile(t, _):
-        sl = pl.ds(pl.multiple_of(t * _CM, _CM), _CM)
+        sl = pl.ds(pl.multiple_of(t * cm, cm), cm)
         cx = cx_ref[0, sl, :][:, :, None]  # (CM,1,1)
         cy = cy_ref[0, sl, :][:, :, None]
         cz = cz_ref[0, sl, :][:, :, None]
@@ -117,14 +118,14 @@ def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
             val_cur = jnp.where(val_cur == bmin[:, None, :], int_big, val_cur)
             return val_cur, cand
 
-        cand0 = jnp.full((_CM, _R, g_dim), _INT_BIG_PY, jnp.int32)
+        cand0 = jnp.full((cm, _R, g_dim), _INT_BIG_PY, jnp.int32)
         _, cand = lax.fori_loop(0, _R, rnd, (val, cand0))
 
         # rank-match scatter: slot j <- the candidate with rank == j.
         # K runs on sublanes so candidate lanes (buckets) never relayout;
         # at most one candidate matches a given (centroid, slot), so a
         # where-capture + one final lane min-reduce replaces any summation.
-        acc = jnp.full((_CM, k, g_dim), big_key, jnp.int32)
+        acc = jnp.full((cm, k, g_dim), big_key, jnp.int32)
         for r in range(_R):
             cand_r = lax.index_in_dim(cand, r, axis=1, keepdims=False)  # (CM, G)
             cr = cand_r >> _KEY_BITS  # rank (>= k for exhausted/overflow)
@@ -134,10 +135,10 @@ def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
         out_ref[0, sl, :] = jnp.min(acc, axis=2)  # (CM, K) ascending
         return 0
 
-    lax.fori_loop(0, m // _CM, tile, 0, unroll=False)
+    lax.fori_loop(0, m // cm, tile, 0, unroll=False)
 
 
-@partial(jax.jit, static_argnames=("radius", "k", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "k", "interpret", "cm"))
 def ball_query_pallas(
     centers: jax.Array,  # (B, M, 3)
     center_mask: jax.Array,  # (B, M)
@@ -147,6 +148,7 @@ def ball_query_pallas(
     radius: float,
     k: int = 64,
     interpret: bool | None = None,
+    cm: int = _CM,  # centroids per inner tile (perf knob, semantics-free)
 ) -> Tuple[jax.Array, jax.Array]:
     """Same contract as ops.ballquery.ball_query (exact first-K semantics)."""
     b, m, _ = centers.shape
@@ -160,7 +162,7 @@ def ball_query_pallas(
 
     n_pad = round_up(n, _G)
     l_dim = n_pad // _G
-    m_pad = round_up(m, _CM)
+    m_pad = round_up(m, cm)
 
     def plane(x, pad_val=0.0):
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=pad_val)
@@ -178,7 +180,7 @@ def ball_query_pallas(
     p_spec = pl.BlockSpec((1, l_dim, _G), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, m_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_bq_kernel, radius2=float(radius) ** 2, k=k, n=n),
+        partial(_bq_kernel, radius2=float(radius) ** 2, k=k, n=n, cm=cm),
         grid=(b,),
         in_specs=[p_spec, p_spec, p_spec, p_spec, c_spec, c_spec, c_spec, c_spec],
         out_specs=pl.BlockSpec((1, m_pad, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -49,7 +49,8 @@ _K = 64  # output slots (= reference max_num_neighbors)
 _CM = 32  # centroids per inner tile
 
 
-def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int):
+def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int,
+            need_idx: bool):
     px_ref, py_ref, pz_ref, valid_ref = refs[:4]
     feat_refs = refs[4 : 4 + n_feat]
     cx_ref, cy_ref, cz_ref, cvalid_ref = refs[4 + n_feat : 8 + n_feat]
@@ -82,7 +83,13 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int):
         bmin = jnp.min(keys, axis=1)  # (CM, G): first in-radius per residue
         # pair residue j with j+64 (contiguous halves -> plain lane slices)
         pair = jnp.minimum(bmin[:, :_K], bmin[:, _K:])  # (CM, K)
-        out_idx_ref[0, sl, :] = pair
+        if need_idx:
+            out_idx_ref[0, sl, :] = pair
+        else:
+            # the model path derives only (pair < n) from idx; storing the
+            # 0/1 validity in the plane dtype instead of int32 indices cuts
+            # the kernel's DMA-capped output bytes (its bottleneck) by ~25%
+            out_idx_ref[0, sl, :] = (pair < big).astype(out_idx_ref.dtype)
 
         # capture planes at the selected indices (value-match one-hot: keys are
         # unique indices, so equality hits exactly the selected point). All
@@ -107,7 +114,8 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int):
     lax.fori_loop(0, m // _CM, tile, 0, unroll=False)
 
 
-@partial(jax.jit, static_argnames=("radius", "interpret", "raw_planes", "compute_dtype"))
+@partial(jax.jit, static_argnames=("radius", "interpret", "raw_planes",
+                                   "compute_dtype", "need_idx"))
 def ball_group_pallas(
     centers: jax.Array,  # (B, M, 3)
     center_mask: jax.Array,  # (B, M)
@@ -119,6 +127,7 @@ def ball_group_pallas(
     interpret: bool | None = None,
     raw_planes: bool = False,
     compute_dtype=jnp.float32,
+    need_idx: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """Fused stratified ball query + gather.
 
@@ -127,6 +136,12 @@ def ball_group_pallas(
       nbr_mask: (B, M, 64) bool
       rel:      (B, M, 64, 3) gathered positions relative to each centroid
       gfeat:    (B, M, 64, F) gathered features (F = feat planes captured)
+
+    ``need_idx=False`` replaces the int32 index plane with an in-kernel 0/1
+    validity plane in the store dtype and returns ``idx=None`` — every
+    production consumer (models/pointnet2.py, models/inference.py) derives
+    only ``idx < n`` from idx, and the kernel's output DMA is its bottleneck,
+    so not storing 4-byte indices nobody reads cuts its bytes ~25%.
 
     ``compute_dtype`` sets the captured-plane store dtype: the kernel's output
     DMA is its bottleneck (26 GB/s Pallas cap), and the SA MLP casts its edge
@@ -169,11 +184,12 @@ def ball_group_pallas(
 
     outs = pl.pallas_call(
         partial(_kernel, radius2=float(radius) ** 2, n=n, n_feat=f_dim,
-                m=m_pad, l_dim=l_dim),
+                m=m_pad, l_dim=l_dim, need_idx=need_idx),
         grid=(b,),
         in_specs=[p_spec] * (4 + f_dim) + [c_spec] * 4,
         out_specs=[o_spec] * (1 + n_out_planes),
-        out_shape=[jax.ShapeDtypeStruct((b, m_pad, _K), jnp.int32)]
+        out_shape=[jax.ShapeDtypeStruct((b, m_pad, _K),
+                                        jnp.int32 if need_idx else out_dt)]
         + [jax.ShapeDtypeStruct((b, m_pad, _K), out_dt)] * n_out_planes,
         interpret=interpret,
         # the MSG second-scale instance sits 160 KB over the 16 MB scoped
@@ -186,9 +202,13 @@ def ball_group_pallas(
         cplane(centers[..., 0]), cplane(centers[..., 1]), cplane(centers[..., 2]),
         cplane(center_mask.astype(jnp.float32)),
     )
-    idx_raw = outs[0][:, :m]
-    nbr_mask = idx_raw < n
-    idx = jnp.where(nbr_mask, idx_raw, 0)
+    if need_idx:
+        idx_raw = outs[0][:, :m]
+        nbr_mask = idx_raw < n
+        idx = jnp.where(nbr_mask, idx_raw, 0)
+    else:
+        nbr_mask = outs[0][:, :m] > 0.5
+        idx = None
     rx, ry, rz = (o[:, :m] for o in outs[1:4])  # centroid-relative coords
     z = jnp.zeros((), out_dt)
     if raw_planes:

@@ -31,9 +31,17 @@ def masked_max(x: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
     aggregation, ``pointnet2_regressor.py:18``); jnp.max's VJP would split
     tied gradients evenly instead — ties only occur for duplicated points
     (the noise augment appends copies), where either convention is valid.
+
+    The primal (inference) path computes ONLY the max — no argmax, so eval
+    never pays a second reduction pass; under differentiation the fwd rule
+    computes (max, argmax) together in ONE variadic reduce (separate
+    jnp.max + jnp.argmax cost two full passes over the edge tensor).
     """
-    out, _ = _masked_max_fwd(x, mask, axis)
-    return out
+    filled = _filled(x, mask)
+    out = jnp.max(filled, axis=axis)
+    any_valid = jnp.any(mask, axis=axis)
+    av = jnp.expand_dims(any_valid, -1) if any_valid.ndim == out.ndim - 1 else any_valid
+    return jnp.where(av, out, 0.0)
 
 
 def _filled(x, mask):
@@ -42,10 +50,25 @@ def _filled(x, mask):
     return jnp.where(m, x, neg)
 
 
+def _max_and_argmax(x, axis):
+    """(max, argmax) in ONE variadic reduce — first index wins ties, matching
+    jnp.argmax (and torch_scatter's scatter_max) exactly."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+
+    def red(a, b):
+        av, ai = a
+        bv, bi = b
+        take = (bv > av) | ((bv == av) & (bi < ai))
+        return jnp.where(take, bv, av), jnp.where(take, bi, ai)
+
+    return jax.lax.reduce(
+        (x, iota), (jnp.asarray(-jnp.inf, x.dtype), jnp.int32(0)), red, (axis,)
+    )
+
+
 def _masked_max_fwd(x, mask, axis):
     filled = _filled(x, mask)
-    out = jnp.max(filled, axis=axis)
-    am = jnp.argmax(filled, axis=axis).astype(jnp.int32)
+    out, am = _max_and_argmax(filled, axis)
     any_valid = jnp.any(mask, axis=axis)
     av = jnp.expand_dims(any_valid, -1) if any_valid.ndim == out.ndim - 1 else any_valid
     out = jnp.where(av, out, 0.0)

@@ -52,6 +52,24 @@ class TestBallGroupPallas:
         want_f[~nm] = 0
         np.testing.assert_allclose(gf[..., 0], want_f, atol=1e-6)
 
+    def test_need_idx_false_matches(self, rng):
+        """need_idx=False (validity-plane store) returns identical mask/planes
+        with idx=None — the production model/engine path."""
+        b, m, n = 2, 64, 256
+        pos = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+        mask = jnp.asarray(rng.random((b, n)) > 0.1)
+        centers, cmask = pos[:, :m], mask[:, :m]
+        feat = jnp.asarray(rng.normal(size=(b, n, 1)), jnp.float32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            ref = ball_group_pallas(centers, cmask, pos, mask, feat,
+                                    radius=0.9, interpret=True, compute_dtype=dt)
+            got = ball_group_pallas(centers, cmask, pos, mask, feat, radius=0.9,
+                                    interpret=True, compute_dtype=dt,
+                                    need_idx=False)
+            assert got[0] is None
+            for a, b_ in zip(ref[1:], got[1:]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
     def test_no_feature_planes(self, rng):
         pos = jnp.asarray(rng.normal(size=(1, 256, 3)), jnp.float32)
         mask = jnp.ones((1, 256), bool)

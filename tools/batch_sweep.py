@@ -59,10 +59,23 @@ def main(batches) -> None:
                 )
             float(loss)
             best = min(best, (time.perf_counter() - t0) / TIMED_STEPS)
+        loss, _ = trainer._eval_step(state.params, state.batch_stats, batch)
+        float(loss)
+        beste = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            ls = []
+            for i in range(TIMED_STEPS):
+                loss, _ = trainer._eval_step(state.params, state.batch_stats, batch)
+                ls.append(loss)
+            float(sum(ls))
+            beste = min(beste, (time.perf_counter() - t0) / TIMED_STEPS)
         rows[str(b)] = {
             "clouds_per_sec": round(b / best, 1),
             "ms_per_step": round(best * 1000, 2),
             "ms_per_16_clouds": round(best * 1000 * 16 / b, 2),
+            "infer_clouds_per_sec": round(b / beste, 1),
+            "infer_ms_per_step": round(beste * 1000, 2),
         }
         print(f"B={b}: {rows[str(b)]}", file=sys.stderr)
     print(json.dumps({"metric": "train_batch_sweep_10k_pts", "rows": rows,
