@@ -37,6 +37,10 @@ class HyperParams:
 class ModelConfig:
     """Architecture knobs beyond the reference constructor surface."""
 
+    family: str = "pointnet2"  # pointnet2 | voxelnet (the reference's
+    # MinkowskiEngine probe, rebuilt as a dense voxel CNN — models/voxelnet.py)
+    voxel_grid: int = 32  # voxelnet: voxels per axis
+    voxel_extent: float = 0.0  # voxelnet: cube half-width; 0 = per-cloud
     sa1_ratio: float = 0.2
     sa1_radius: float = 2.0
     sa2_ratio: float = 0.25

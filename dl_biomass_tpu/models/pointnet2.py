@@ -318,8 +318,24 @@ def pointnet2_v2(num_features: int, activation_function: str = "ReLU") -> PointN
     )
 
 
-def model_to_dict(model: PointNet2Regressor) -> dict:
-    """JSON-serializable constructor args (for checkpoint sidecar metadata)."""
+def model_to_dict(model) -> dict:
+    """JSON-serializable constructor args (for checkpoint sidecar metadata).
+
+    Family-aware: dispatches on the model class so every family's checkpoints
+    carry a self-describing sidecar (``family`` key; absent = pointnet2)."""
+    from dl_biomass_tpu.models.voxelnet import VoxelNet
+
+    if isinstance(model, VoxelNet):
+        return dict(
+            family="voxelnet",
+            num_features=model.num_features,
+            num_outputs=model.num_outputs,
+            grid=model.grid,
+            extent=model.extent,
+            channels=list(model.channels),
+            activation_function=model.activation_function,
+            compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
+        )
     return dict(
         num_features=model.num_features,
         activation_function=model.activation_function,
@@ -345,15 +361,33 @@ def model_to_dict(model: PointNet2Regressor) -> dict:
     )
 
 
-def model_from_dict(d: dict) -> PointNet2Regressor:
+def model_from_dict(d: dict):
     d = dict(d)
     d["compute_dtype"] = jnp.bfloat16 if d.get("compute_dtype") == "bfloat16" else jnp.float32
+    family = d.pop("family", "pointnet2")
+    if family == "voxelnet":
+        from dl_biomass_tpu.models.voxelnet import VoxelNet
+
+        d["channels"] = tuple(d.get("channels", (64, 128)))
+        return VoxelNet(**d)
+    if family != "pointnet2":
+        raise ValueError(f"unknown model family {family!r}")
     return PointNet2Regressor(**d)
 
 
-def build_model(cfg, num_features: int) -> PointNet2Regressor:
+def build_model(cfg, num_features: int):
     """Construct the regressor from a TrainConfig-style pair (hp + model cfg)."""
     hp, mc = cfg.hp, cfg.model
+    if getattr(mc, "family", "pointnet2") == "voxelnet":
+        from dl_biomass_tpu.models.voxelnet import VoxelNet
+
+        return VoxelNet(
+            num_features=num_features,
+            grid=mc.voxel_grid,
+            extent=mc.voxel_extent,
+            activation_function=hp.activation_function,
+            compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
+        )
     up = getattr(mc, "use_pallas", "auto")
     if up == "auto":
         use_pallas = jax.default_backend() == "tpu"

@@ -1,0 +1,115 @@
+"""On-device voxelization: dense point clouds -> dense voxel feature grids.
+
+The reference explored a sparse voxel CNN via MinkowskiEngine
+(``Misc/Minkowski_Engine/Minkowski_Main_V1.py:4-35``) — a C++/CUDA sparse-tensor
+engine whose whole design (coordinate hashing, kernel maps, gather/scatter
+convolution) exists to skip empty space on GPUs. On TPU that design is
+inverted: at plot scale (a 24³-32³ grid is ~14k-33k voxels) a **dense** grid
+convolution lowers straight onto the MXU through XLA's conv emitter, while a
+sparse gather/scatter conv would serialize into exactly the scatter patterns
+the hardware is worst at. So the TPU-native equivalent of Minkowski's sparse
+tensor build is this op: scatter points into a dense ``(B, G, G, G, C)`` grid
+once, then run everything downstream as dense convs (``models/voxelnet.py``).
+
+Differentiable w.r.t. features (scatter-add VJP = gather); voxel indices carry
+no gradient — same as Minkowski's coordinate build.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("grid", "extent"))
+def voxelize(
+    pos: jax.Array,  # (B, N, 3) float32, centered per cloud
+    feat: Optional[jax.Array],  # (B, N, F) float32 or None
+    mask: jax.Array,  # (B, N) bool
+    *,
+    grid: int,
+    extent: Optional[float] = None,  # half-width of the cube; None = per-cloud
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter points into a dense voxel grid.
+
+    The cube ``[-extent, extent]³`` is split into ``grid³`` voxels; points
+    outside are clipped onto the boundary voxels. ``extent=None`` adapts per
+    cloud to the max |coordinate| over valid points (clouds arrive centered —
+    reference ``pointcloud_dataloader.py:108`` / ``downsampling_point_clouds.py:168``).
+
+    Returns:
+      counts:   (B, G, G, G)    float32 — points per voxel
+      feat_sum: (B, G, G, G, F) float32 — per-voxel feature sums (F=0 kept)
+      off_sum:  (B, G, G, G, 3) float32 — per-voxel sums of the offset of each
+                point from its voxel center, in voxel units (sub-voxel
+                geometry; mean offset = off_sum / counts)
+    """
+    b, n, _ = pos.shape
+    g3 = grid * grid * grid
+    maskf = mask.astype(jnp.float32)
+
+    if extent is None:
+        # per-cloud adaptive cube; tiny epsilon keeps the max point inside
+        ext = jnp.max(jnp.abs(pos) * maskf[..., None], axis=(1, 2))  # (B,)
+        ext = jnp.maximum(ext, 1e-6) * (1.0 + 1e-6)
+        ext = ext[:, None, None]
+    else:
+        ext = jnp.full((b, 1, 1), float(extent), jnp.float32)
+
+    # voxel coordinates per axis, clipped to the grid
+    u = (pos + ext) * (grid / 2.0) / ext  # in [0, grid)
+    iv = jnp.clip(u.astype(jnp.int32), 0, grid - 1)  # (B, N, 3)
+    flat = (iv[..., 0] * grid + iv[..., 1]) * grid + iv[..., 2]  # (B, N)
+    flat = jnp.where(mask, flat, 0)  # pads scatter zero weight into voxel 0
+
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    counts = jnp.zeros((b, g3), jnp.float32).at[rows, flat].add(maskf)
+
+    f = 0 if feat is None else feat.shape[-1]
+    if f:
+        fs = jnp.zeros((b, g3, f), jnp.float32).at[rows, flat].add(
+            feat.astype(jnp.float32) * maskf[..., None]
+        )
+    else:
+        fs = jnp.zeros((b, g3, 0), jnp.float32)
+
+    # offset from the center of the point's voxel, in voxel units (in [-.5, .5])
+    center_u = iv.astype(jnp.float32) + 0.5
+    off = jnp.clip(u - center_u, -0.5, 0.5) * maskf[..., None]
+    os_ = jnp.zeros((b, g3, 3), jnp.float32).at[rows, flat].add(off)
+
+    shape = (b, grid, grid, grid)
+    return counts.reshape(shape), fs.reshape(shape + (f,)), os_.reshape(shape + (3,))
+
+
+def voxelize_reference(pos, feat, mask, *, grid, extent=None):
+    """Pure-numpy oracle with identical semantics (for parity tests)."""
+    import numpy as np
+
+    pos = np.asarray(pos, np.float32)  # f32 index math matches the jnp path
+    mask = np.asarray(mask, bool)
+    b, n, _ = pos.shape
+    f = 0 if feat is None else np.asarray(feat).shape[-1]
+    counts = np.zeros((b, grid, grid, grid), np.float64)
+    fs = np.zeros((b, grid, grid, grid, f), np.float64)
+    os_ = np.zeros((b, grid, grid, grid, 3), np.float64)
+    for i in range(b):
+        if extent is None:
+            valid = pos[i][mask[i]]
+            ext = max(float(np.abs(valid).max()) if len(valid) else 0.0, 1e-6)
+            ext *= 1.0 + 1e-6
+        else:
+            ext = float(extent)
+        for j in range(n):
+            if not mask[i, j]:
+                continue
+            u = (pos[i, j] + ext) * (grid / 2.0) / ext
+            iv = np.clip(u.astype(np.int32), 0, grid - 1)
+            counts[i, iv[0], iv[1], iv[2]] += 1.0
+            if f:
+                fs[i, iv[0], iv[1], iv[2]] += np.asarray(feat)[i, j]
+            os_[i, iv[0], iv[1], iv[2]] += np.clip(u - (iv + 0.5), -0.5, 0.5)
+    return counts, fs, os_
