@@ -74,8 +74,15 @@ def _run_folded(x, layers, act=True, compute_dtype=jnp.float32):
     return x
 
 
-def compile_inference(model, variables) -> Callable:
-    """Returns a jitted ``fn(batch) -> (B, num_outputs)`` serving function."""
+def compile_inference(model, variables, fused_eval: bool = False) -> Callable:
+    """Returns a jitted ``fn(batch) -> (B, num_outputs)`` serving function.
+
+    ``fused_eval=True`` runs SA1 as ONE fused Pallas kernel (selection +
+    capture + folded MLP + max, ops/pallas_sa_eval.py). Off by default on
+    measurement: it ties the folded-XLA chain at B=16 (18.4 vs 18.7 ms) and
+    loses at B=36 (39.5 vs 37.8) — the kernel's VPU selection cost scales
+    linearly with batch while the XLA chain amortizes (docs/BENCHMARKS.md
+    "round 3: the Pallas re-probe")."""
     if model.activation_function != "ReLU" or model.msg or model.max_neighbors != 64:
         raise NotImplementedError(
             "inference engine covers the flagship SSG/ReLU/K=64 config; "
@@ -133,19 +140,33 @@ def compile_inference(model, variables) -> Callable:
         cm1 = jnp.take_along_axis(mask, idx1, axis=1)
         if (model.use_pallas and model.fast_group and feat.shape[-1] <= 4
                 and not model.exact_selection):
-            # production SA1 grouping: fused stratified ball query + gather
-            # (1.8 ms vs ~17 ms approx query + XLA gathers at flagship scale)
-            from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
+            if fused_eval:
+                # the whole SA1 layer (stratified selection + capture + folded
+                # MLP + max) as ONE kernel: no (B, M, K, C) edge tensor ever
+                # touches HBM (ops/pallas_sa_eval.py)
+                from dl_biomass_tpu.ops.pallas_sa_eval import sa1_fused_eval
 
-            _, nm1, rel1, g1 = ball_group_pallas(c1, cm1, pos, mask, feat, radius=r1,
-                                                 compute_dtype=ct, need_idx=False)
-            e1 = jnp.concatenate([g1, rel1], axis=-1)
+                h1 = sa1_fused_eval(
+                    c1, cm1, pos, mask, feat,
+                    [w for wb in sa1_layers for w in wb], radius=r1,
+                    bf16=(jnp.dtype(ct) == jnp.dtype(jnp.bfloat16)),
+                    out_dtype=ct,
+                )
+            else:
+                # production SA1 grouping: fused stratified ball query + gather
+                # (1.8 ms vs ~17 ms approx query + XLA gathers at flagship scale)
+                from dl_biomass_tpu.ops.pallas_group import ball_group_pallas
+
+                _, nm1, rel1, g1 = ball_group_pallas(c1, cm1, pos, mask, feat, radius=r1,
+                                                     compute_dtype=ct, need_idx=False)
+                e1 = jnp.concatenate([g1, rel1], axis=-1)
+                h1 = masked_max(_run_folded(e1, sa1_layers, compute_dtype=ct), nm1, axis=2)
         else:
             nidx1, nm1 = _bq(c1, cm1, pos, mask, r1)
             g1 = gather_points(feat, nidx1)
             rel1 = gather_points(pos, nidx1) - c1[:, :, None, :]
             e1 = jnp.where(nm1[..., None], jnp.concatenate([g1, rel1], axis=-1), 0.0)
-        h1 = masked_max(_run_folded(e1, sa1_layers, compute_dtype=ct), nm1, axis=2)
+            h1 = masked_max(_run_folded(e1, sa1_layers, compute_dtype=ct), nm1, axis=2)
 
         idx2 = _fps(c1, cm1, m2)
         c2 = gather_points(c1, idx2)

@@ -47,6 +47,16 @@ class TestInferenceEngine:
         rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         assert rel < 1e-4, rel
 
+    def test_fused_eval_matches_model_apply(self, setup):
+        """fused_eval=True routes SA1 through the single fused kernel
+        (ops/pallas_sa_eval.py, interpret mode here) — same predictions."""
+        model, variables, batch = setup
+        want = np.asarray(model.apply(variables, batch, train=False))
+        infer = compile_inference(model, variables, fused_eval=True)
+        got = np.asarray(infer(batch))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-4, rel
+
     def test_rejects_unsupported_variants(self, setup):
         _, variables, _ = setup
         with pytest.raises(NotImplementedError):

@@ -6,6 +6,7 @@ be attributed line-by-line (the data behind docs/BENCHMARKS.md's profile
 tables).
 
 Usage: python tools/profile_step.py [train|eval|engine] [B] [N]
+Set PROFILE_FUSED_SA=1 to profile the fused-SA-kernel path.
 """
 
 import glob
@@ -41,6 +42,8 @@ def build(b, n):
         y=jnp.asarray(rng.normal(size=(b, 4)), jnp.float32),
     )
     cfg = TrainConfig(hp=HyperParams(batch_size=b))
+    if os.environ.get("PROFILE_FUSED_SA"):
+        cfg.model.fused_sa = True
     model = build_model(cfg, num_features=1)
     trainer = Trainer(model, cfg)
     state = trainer.init_state(jax.random.key(0), batch)
