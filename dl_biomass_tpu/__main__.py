@@ -348,6 +348,41 @@ def cmd_visualize_aug(argv):
     print(f"wrote {args.out}")
 
 
+def cmd_predict(argv):
+    """Target-free serving: a directory of clouds -> a predictions CSV (the
+    deployment path the reference never had — its eval always joins ground
+    truth, testing_model.py:70-86)."""
+    p = argparse.ArgumentParser(prog="predict")
+    p.add_argument("--model-dir", default="models_out")
+    p.add_argument("--model-file")
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--out", required=True, help="predictions CSV path")
+    p.add_argument("--glob", default="*.las")
+    p.add_argument("--presampled", default="true",
+                   help="true: already-resampled clouds (load all points); "
+                        "false: raw LAS (height filter + random subsample)")
+    p.add_argument("--num-points", type=int, default=7168)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--presampled-suffix", default="_fps_7168")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-exact numerics (disables the serving engine)")
+    p.add_argument("--no-engine", action="store_true",
+                   help="use jitted model.apply instead of the folded engine")
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.eval.predict import predict_directory
+
+    df = predict_directory(
+        args.model_dir, args.in_dir, args.out,
+        model_file=args.model_file,
+        use_presampled=args.presampled.lower() in ("1", "true", "yes"),
+        num_points=args.num_points, glob=args.glob,
+        batch_size=args.batch_size, presampled_suffix=args.presampled_suffix,
+        parity=args.parity, engine=not args.no_engine,
+    )
+    print(f"wrote {len(df)} predictions -> {args.out}")
+
+
 def cmd_parity_record(argv):
     p = argparse.ArgumentParser(prog="parity-record")
     p.add_argument("--data-dir", required=True)
@@ -407,6 +442,7 @@ COMMANDS = {
     "train": cmd_train,
     "seed-study": cmd_seed_study,
     "evaluate": cmd_evaluate,
+    "predict": cmd_predict,
     "resample": cmd_resample,
     "sweep": cmd_sweep,
     "tune": cmd_tune,

@@ -1,0 +1,106 @@
+"""Deployment prediction: a directory of clouds -> a biomass CSV.
+
+The reference has no target-free serving path — every eval script joins the
+biomass table and computes metrics (``testing_model.py:15-330``, ``scratch.py``).
+Production deployment needs the other thing: predict plots for which no ground
+truth exists. This module loads a checkpoint, ingests LAS/parquet clouds, runs
+them through the folded-weight serving engine (``models/inference.py``) when
+the architecture supports it (falling back to the jitted ``model.apply``), and
+writes ``PlotID, bark/branch/foliage/wood_btphr, tree_btphr`` rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from dl_biomass_tpu.io.dataset import BIOMASS_COLUMNS
+
+
+def _targetless(fileset):
+    """Serve datasets without a biomass table: zero targets (unused)."""
+    fileset.targets = lambda plot_id: np.zeros(4, np.float32)
+    return fileset
+
+
+def predict_directory(
+    model_dir: str,
+    in_dir: str,
+    out_csv: Optional[str] = None,
+    *,
+    model_file: Optional[str] = None,
+    use_presampled: bool = True,
+    num_points: int = 7168,
+    use_columns: Optional[List[str]] = None,
+    use_datasets: Optional[Sequence[str]] = None,
+    glob: str = "*.las",
+    batch_size: int = 32,
+    presampled_suffix: str = "_fps_7168",
+    parity: bool = False,
+    engine: bool = True,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Predict every plot under ``in_dir``; returns (and optionally writes)
+    the predictions frame indexed by PlotID."""
+    from dl_biomass_tpu.eval.testing import load_model_for_eval, predict_dataset
+
+    use_columns = use_columns or ["intensity_normalized"]
+    use_datasets = use_datasets or ["BC", "RM", "PF"]
+    model, params, batch_stats, path = load_model_for_eval(
+        model_dir, model_file, parity=parity
+    )
+    print("Using model:", path)
+
+    if use_presampled:
+        from dl_biomass_tpu.io.dataset import PointCloudsInFilesPreSampled
+
+        fileset = _targetless(PointCloudsInFilesPreSampled(
+            in_dir, glob, dataset=use_datasets, use_column=use_columns[0],
+            presampled_suffix=presampled_suffix,
+        ))
+        if len(fileset) == 0:
+            raise FileNotFoundError(f"no {glob} plots under {in_dir!r}")
+        ds = fileset.load_all(for_augmentation=False)
+    else:
+        from dl_biomass_tpu.io.dataset import PointCloudsInFiles
+
+        fileset = _targetless(PointCloudsInFiles(
+            in_dir, glob, max_points=num_points, use_columns=use_columns,
+            filter_height=0.2, dataset=use_datasets,
+        ))
+        if len(fileset) == 0:
+            raise FileNotFoundError(f"no {glob} plots under {in_dir!r}")
+        ds = fileset.load_all(np.random.default_rng(seed), for_augmentation=False)
+
+    pred = None
+    if engine and not parity:
+        import jax
+        import jax.numpy as jnp
+
+        from dl_biomass_tpu.models.inference import compile_inference
+
+        try:
+            infer = compile_inference(
+                model, {"params": params, "batch_stats": batch_stats}
+            )
+            outs = []
+            for batch in ds.batches(batch_size):
+                out = np.asarray(infer(batch))
+                valid = np.asarray(jnp.any(batch.mask, axis=1))
+                outs.append(out[valid])
+            pred = np.concatenate(outs, axis=0)
+        except NotImplementedError:
+            pred = None  # non-flagship architecture: model.apply below
+    if pred is None:
+        pred = predict_dataset(model, params, batch_stats, ds, batch_size)
+
+    df = pd.DataFrame(pred, columns=list(BIOMASS_COLUMNS), index=list(ds.plot_ids))
+    df.index.name = "PlotID"
+    df["tree_btphr"] = df[list(BIOMASS_COLUMNS)].sum(axis=1)
+    if out_csv:
+        os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+        df.to_csv(out_csv)
+    return df

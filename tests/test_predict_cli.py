@@ -1,0 +1,98 @@
+"""Target-free `predict` deployment path: directory of clouds -> CSV."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+from dl_biomass_tpu.eval.predict import predict_directory
+from dl_biomass_tpu.io.reader import write_las
+from dl_biomass_tpu.io.synthetic import synthetic_plot
+from dl_biomass_tpu.models.pointnet2 import build_model, model_to_dict
+from dl_biomass_tpu.train.checkpoint import save_checkpoint
+from dl_biomass_tpu.train.trainer import Trainer
+
+
+@pytest.fixture
+def checkpoint_and_plots(tmp_path, rng):
+    """A saved (untrained) checkpoint + 5 presampled LAS plots, NO biomass CSV."""
+    n = 256
+    plot_dir = tmp_path / "plots"
+    os.makedirs(plot_dir)
+    for i in range(5):
+        coords, intensity, _ = synthetic_plot(rng, n)
+        inorm = (intensity - intensity.min()) / max(float(np.ptp(intensity)), 1) * 20
+        write_las(coords, str(plot_dir / f"RM_{i:03d}_fps_7168.las"),
+                  {"intensity_normalized": inorm.astype(np.float32)})
+
+    cfg = TrainConfig(hp=HyperParams(batch_size=2, num_points=n))
+    cfg.model.compute_dtype = "float32"
+    model = build_model(cfg, num_features=1)
+    trainer = Trainer(model, cfg)
+    from dl_biomass_tpu.core.cloud import CloudBatch
+
+    batch = CloudBatch(
+        pos=jnp.asarray(rng.normal(size=(2, n, 3)), jnp.float32),
+        feat=jnp.asarray(rng.normal(size=(2, n, 1)), jnp.float32),
+        mask=jnp.ones((2, n), bool),
+        y=jnp.zeros((2, 4), jnp.float32),
+    )
+    state = trainer.init_state(jax.random.key(0), batch)
+    ckpt_dir = str(tmp_path / "model")
+    save_checkpoint(ckpt_dir, state, epoch=0, val_mse=1.0)
+    with open(os.path.join(ckpt_dir, "model_config.json"), "w") as f:
+        json.dump({"model": model_to_dict(model), "train": cfg.to_dict()}, f)
+    return ckpt_dir, str(plot_dir), tmp_path
+
+
+def test_predict_directory_writes_csv(checkpoint_and_plots):
+    ckpt_dir, plot_dir, tmp_path = checkpoint_and_plots
+    out = str(tmp_path / "preds.csv")
+    df = predict_directory(ckpt_dir, plot_dir, out, batch_size=2)
+    assert len(df) == 5
+    # presampled suffix stripped from PlotIDs
+    assert sorted(df.index) == [f"RM_{i:03d}" for i in range(5)]
+    got = pd.read_csv(out, index_col="PlotID")
+    assert list(got.columns) == [
+        "bark_btphr", "branch_btphr", "foliage_btphr", "wood_btphr", "tree_btphr"
+    ]
+    np.testing.assert_allclose(
+        got["tree_btphr"],
+        got[["bark_btphr", "branch_btphr", "foliage_btphr", "wood_btphr"]].sum(axis=1),
+        rtol=1e-6,
+    )
+    assert np.isfinite(got.to_numpy()).all()
+
+
+def test_predict_engine_matches_apply_path(checkpoint_and_plots):
+    ckpt_dir, plot_dir, _ = checkpoint_and_plots
+    a = predict_directory(ckpt_dir, plot_dir, None, engine=True)
+    b = predict_directory(ckpt_dir, plot_dir, None, engine=False)
+    rel = np.abs(a.to_numpy() - b.to_numpy()).max() / (
+        np.abs(b.to_numpy()).max() + 1e-9
+    )
+    assert rel < 1e-4, rel
+
+
+def test_predict_cli_subcommand(checkpoint_and_plots):
+    ckpt_dir, plot_dir, tmp_path = checkpoint_and_plots
+    from dl_biomass_tpu.__main__ import main
+
+    out = str(tmp_path / "cli_preds.csv")
+    main(["predict", "--model-dir", ckpt_dir, "--in-dir", plot_dir,
+          "--out", out, "--batch-size", "2"])
+    assert os.path.exists(out)
+    assert len(pd.read_csv(out)) == 5
+
+
+def test_predict_empty_dir_errors(checkpoint_and_plots, tmp_path):
+    ckpt_dir, _, _ = checkpoint_and_plots
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        predict_directory(ckpt_dir, empty, None)
