@@ -40,6 +40,10 @@ def _mode_config(base: TrainConfig, mode: str) -> TrainConfig:
     if mode == "production+fast_fps":
         cfg.model.fast_fps = True
         return cfg
+    if mode == "voxelnet":
+        # the voxel-grid CNN family (models/voxelnet.py) on the same corpus
+        cfg.model.family = "voxelnet"
+        return cfg
     raise ValueError(f"unknown mode {mode!r}")
 
 

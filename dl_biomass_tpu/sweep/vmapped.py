@@ -11,6 +11,13 @@ update is frozen via jnp.where, so shapes never change).
 Axes that change shapes (batch size, num_augs, point count) group trials into
 separate vmapped runs — see :func:`grid_sweep`.
 
+Multi-chip: trials are embarrassingly parallel, so the trial axis shards over
+EVERY device of a mesh (``VmappedSweep(..., mesh=...)``) — each chip trains
+T/D trials under the same compiled step with the batch replicated; XLA inserts
+no collectives at all (the only cross-device traffic is the per-epoch val-MSE
+host read). This is the TPU-idiomatic replacement for distributing Optuna
+workers (reference ``hyperparameter_tuning.py:249,306``).
+
 The optimizer is re-implemented inline (rather than optax) because the moment
 update must be a pure function of per-trial scalars to vmap: torch-``Adam``
 semantics (L2 folded into the gradient pre-moments) and decoupled ``AdamW``.
@@ -74,7 +81,7 @@ class VmappedSweep:
 
     def __init__(self, model, lrs: Sequence[float], wds: Sequence[float],
                  optimizer: str = "Adam", patience: int = 10,
-                 early_stopping: bool = True):
+                 early_stopping: bool = True, mesh=None):
         assert len(lrs) == len(wds)
         self.model = model
         self.lrs = jnp.asarray(lrs, jnp.float32)
@@ -83,8 +90,33 @@ class VmappedSweep:
         self.patience = patience
         self.early_stopping = early_stopping
         self.adamw = optimizer == "AdamW"
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            d = mesh.devices.size
+            if self.t % d:
+                raise ValueError(
+                    f"{self.t} trials not divisible by {d} mesh devices"
+                )
+            # trials shard over EVERY mesh axis (embarrassingly parallel)
+            self._trial_s = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+            self._repl_s = NamedSharding(mesh, P())
+            self.lrs = jax.device_put(self.lrs, self._trial_s)
+            self.wds = jax.device_put(self.wds, self._trial_s)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+
+    def _shard_trials(self, tree):
+        """Place every (T, ...)-leading leaf sharded on the trial axis."""
+        if self.mesh is None:
+            return tree
+        return jax.tree.map(lambda x: jax.device_put(x, self._trial_s), tree)
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        return jax.tree.map(lambda x: jax.device_put(x, self._repl_s), tree)
 
     # -- state -------------------------------------------------------------------
 
@@ -101,7 +133,9 @@ class VmappedSweep:
         mu = jax.tree.map(jnp.zeros_like, params)
         nu = jax.tree.map(jnp.zeros_like, params)
         count = jnp.zeros((self.t,), jnp.float32)
-        return dict(params=params, batch_stats=bstats, mu=mu, nu=nu, count=count)
+        return self._shard_trials(
+            dict(params=params, batch_stats=bstats, mu=mu, nu=nu, count=count)
+        )
 
     # -- compiled steps ------------------------------------------------------------
 
@@ -181,13 +215,18 @@ class VmappedSweep:
             for i, batch in enumerate(
                 train_ds.batches(batch_size, key=ek, num_augs=num_augs, shuffle=True)
             ):
-                keys = jax.random.split(jax.random.fold_in(ek, i), self.t)
+                keys = self._shard_trials(
+                    jax.random.split(jax.random.fold_in(ek, i), self.t)
+                )
                 state, loss = self._train_step(
-                    state, self.lrs, self.wds, jnp.asarray(active), keys, batch
+                    state, self.lrs, self.wds,
+                    self._shard_trials(jnp.asarray(active)),
+                    keys, self._replicate(batch),
                 )
             vals = []
             for batch in val_ds.batches(batch_size):
-                vals.append(self._eval_step(state["params"], state["batch_stats"], batch))
+                vals.append(self._eval_step(state["params"], state["batch_stats"],
+                                            self._replicate(batch)))
             val_mse = np.mean(np.stack([np.asarray(v) for v in vals]), axis=0)
 
             epochs_run[active] = epoch + 1
@@ -230,6 +269,7 @@ def grid_sweep(
     optimizer: str = "Adam",
     key: Optional[jax.Array] = None,
     study=None,
+    mesh=None,
     log_fn=print,
 ) -> List[TrialResult]:
     """Full (lr x wd) x batch-size grid: the (lr, wd) product runs as one vmapped
@@ -241,7 +281,7 @@ def grid_sweep(
     for bs in batch_sizes:
         sweep = VmappedSweep(
             model_fn, [p[0] for p in pairs], [p[1] for p in pairs],
-            optimizer=optimizer, patience=patience,
+            optimizer=optimizer, patience=patience, mesh=mesh,
         )
         log_fn(f"vmapped sweep: {len(pairs)} trials in parallel @ batch_size={bs}")
         all_results += sweep.run(

@@ -136,6 +136,53 @@ class TestVmappedSweep:
         assert all(np.isfinite(r.best_val_mse) for r in results)
 
 
+class TestMeshShardedSweep:
+    def test_trial_axis_sharded_and_matches_unsharded(self):
+        """Trials shard over all 8 mesh devices; results match the unsharded
+        run (embarrassingly-parallel — no collectives, same math)."""
+        import jax
+
+        from dl_biomass_tpu.io.device_data import DeviceDataset
+        from dl_biomass_tpu.io.synthetic import synthetic_dataset
+        from dl_biomass_tpu.models import PointNet2Regressor
+        from dl_biomass_tpu.parallel.mesh import make_mesh
+        from dl_biomass_tpu.sweep.vmapped import VmappedSweep
+
+        pos, feat, y, ids = synthetic_dataset(8, 128, seed=0)
+        ds = DeviceDataset.from_clouds(pos, feat, y, ids, base_n=128)
+        model = PointNet2Regressor(num_features=1)
+        lrs = [10 ** u for u in np.linspace(-4, -2, 8)]
+        wds = [1e-5] * 8
+        mesh = make_mesh(dp=4, mp=2)
+
+        runs = {}
+        for name, m in (("single", None), ("mesh", mesh)):
+            sweep = VmappedSweep(model, lrs=lrs, wds=wds, patience=5, mesh=m)
+            if m is not None:
+                state = sweep.init_states(jax.random.key(0),
+                                          next(ds.batches(4)))
+                # every (T, ...) state leaf actually spans all 8 devices
+                leaf = jax.tree.leaves(state["params"])[0]
+                assert len(leaf.sharding.device_set) == 8
+                assert not leaf.sharding.is_fully_replicated
+            runs[name] = sweep.run(ds, ds, key=jax.random.key(0), batch_size=4,
+                                   num_epochs=2, log_fn=lambda s: None)
+        for a, b in zip(runs["single"], runs["mesh"]):
+            # partitioning changes XLA's reduction tiling -> f32 reassociation
+            np.testing.assert_allclose(a.best_val_mse, b.best_val_mse,
+                                       rtol=5e-4)
+
+    def test_indivisible_trials_rejected(self):
+        from dl_biomass_tpu.models import PointNet2Regressor
+        from dl_biomass_tpu.parallel.mesh import make_mesh
+        from dl_biomass_tpu.sweep.vmapped import VmappedSweep
+
+        with pytest.raises(ValueError, match="divisible"):
+            VmappedSweep(PointNet2Regressor(num_features=1),
+                         lrs=[1e-3] * 3, wds=[1e-5] * 3,
+                         mesh=make_mesh(dp=8, mp=1))
+
+
 class TestBestHPFromCSV:
     def test_loads_newest_and_best_row(self, tmp_path):
         import pandas as pd
