@@ -109,20 +109,17 @@ def bench_config1() -> None:
     key = jax.random.key(1)
 
     def epoch(ep, state):
-        counts = []
-        loss = None
-        for i, batch in enumerate(ds.batches(b, key=jax.random.fold_in(key, ep),
-                                             num_augs=2, shuffle=True)):
-            state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, ep * 1000 + i))
-            counts.append(jnp.sum(jnp.any(batch.mask, axis=1)))
-        # one host sync per epoch (matches Trainer.train_epoch) — a per-step
-        # transfer would serialize dispatch and measure latency, not throughput
-        float(loss)
-        return state, int(sum(int(c) for c in counts))
+        # the production epoch path: fused assemble+augment+train step (one
+        # device dispatch per step; Trainer.fit uses this when handed datasets)
+        state, _, clouds = trainer.train_epoch_fused(
+            state, ds, jax.random.fold_in(key, ep), batch_size=b, num_augs=2
+        )
+        return state, clouds
 
     state, _ = epoch(0, state)  # warm/compile
+    state, _ = epoch(1, state)  # steady state
     t0 = time.perf_counter()
-    state, clouds = epoch(1, state)
+    state, clouds = epoch(2, state)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "config1_train_10k_with_augs", "value": round(clouds / dt, 2),

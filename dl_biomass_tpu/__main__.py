@@ -124,8 +124,8 @@ def cmd_train(argv):
     os.makedirs(cfg.model_dir, exist_ok=True)
     hist = trainer.fit(
         state,
-        lambda k: ds_train.batches(cfg.hp.batch_size, key=k, num_augs=cfg.hp.num_augs, shuffle=True),
-        lambda: ds_val.batches(cfg.hp.batch_size),
+        ds_train,  # DeviceDataset directly -> fused assemble+train step
+        ds_val,
         key=key,
         csv_path=os.path.join(cfg.model_dir, "training_log.csv"),
         checkpoint_dir=cfg.model_dir,

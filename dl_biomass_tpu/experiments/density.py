@@ -81,9 +81,7 @@ def point_density_effect(
         key = jax.random.key(seed + point_num)
         state = trainer.init_state(key, next(ds_tr.batches(cfg.hp.batch_size)))
         hist = trainer.fit(
-            state,
-            lambda k: ds_tr.batches(cfg.hp.batch_size, key=k, num_augs=cfg.hp.num_augs, shuffle=True),
-            lambda: ds_va.batches(cfg.hp.batch_size),
+            state, ds_tr, ds_va,  # datasets -> fused assemble+train step
             key=key, num_epochs=cfg.num_epochs, log_fn=lambda s: None,
         )
         runtime = time.time() - t0

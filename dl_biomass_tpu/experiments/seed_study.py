@@ -102,10 +102,7 @@ def run_seed_study(
             state = trainer.init_state(jax.random.key(seed), example)
             t0 = time.time()
             hist = trainer.fit(
-                state,
-                lambda k: ds_train.batches(batch_size, key=k, num_augs=num_augs,
-                                           shuffle=True),
-                lambda: ds_val.batches(batch_size),
+                state, ds_train, ds_val,  # fused assemble+train step
                 key=jax.random.key(1000 + seed),
                 num_epochs=max_epochs,
                 log_fn=lambda s: None,

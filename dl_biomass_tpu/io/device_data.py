@@ -124,6 +124,39 @@ class DeviceDataset:
             idx, aug = idx[perm], aug[perm]
         return idx, aug
 
+    def epoch_specs(
+        self,
+        batch_size: int,
+        *,
+        key: Optional[jax.Array] = None,
+        num_augs: int = 0,
+        shuffle: bool = False,
+    ) -> Iterator[tuple]:
+        """Yield per-batch host specs ``(idx, aug_flag, valid, assemble_key)``
+        — tiny HOST numpy arrays a fused assemble+train step consumes (see
+        Trainer.train_epoch_fused); staying numpy keeps per-batch host work to
+        one argument transfer and lets callers count valid clouds without a
+        device sync. Key discipline matches batches() exactly, so the two
+        paths produce bit-identical batches."""
+        if num_augs > 0 and key is None:
+            raise ValueError(
+                "epoch_specs(num_augs>0) needs a PRNG key — without one every "
+                "epoch would see identical augmentations"
+            )
+        order, aug = self.epoch_order(key, num_augs, shuffle)
+        n = len(order)
+        akey = key if key is not None else jax.random.key(0)
+        for b0 in range(0, n, batch_size):
+            chunk = order[b0 : b0 + batch_size]
+            achunk = aug[b0 : b0 + batch_size]
+            valid = np.ones(len(chunk), bool)
+            if len(chunk) < batch_size:
+                pad = batch_size - len(chunk)
+                chunk = np.concatenate([chunk, np.zeros(pad, np.int32)])
+                achunk = np.concatenate([achunk, np.zeros(pad, bool)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            yield chunk, achunk, valid, jax.random.fold_in(akey, b0)
+
     def batches(
         self,
         batch_size: int,
@@ -139,23 +172,12 @@ class DeviceDataset:
                 "batches(num_augs>0) needs a PRNG key — without one every epoch "
                 "would see identical augmentations"
             )
-        order, aug = self.epoch_order(key, num_augs, shuffle)
-        n = len(order)
-        akey = key if key is not None else jax.random.key(0)
-        for b0 in range(0, n, batch_size):
-            chunk = order[b0 : b0 + batch_size]
-            achunk = aug[b0 : b0 + batch_size]
-            valid = np.ones(len(chunk), bool)
-            if len(chunk) < batch_size:
-                pad = batch_size - len(chunk)
-                chunk = np.concatenate([chunk, np.zeros(pad, np.int32)])
-                achunk = np.concatenate([achunk, np.zeros(pad, bool)])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
+        for idx, aug_flag, valid, akey in self.epoch_specs(
+            batch_size, key=key, num_augs=num_augs, shuffle=shuffle
+        ):
             yield _assemble_batch(
                 self.pos, self.feat, self.mask, self.y,
-                jnp.asarray(chunk), jnp.asarray(achunk), jnp.asarray(valid),
-                jax.random.fold_in(akey, b0),
-                base_n=self.base_n,
+                idx, aug_flag, valid, akey, base_n=self.base_n,
             )
 
     def batch_plot_ids(self, batch_size: int) -> List[List[str]]:

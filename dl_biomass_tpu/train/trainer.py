@@ -92,6 +92,7 @@ class Trainer:
         self.tx = make_optimizer(cfg.hp)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._fused_train_step = None  # built on first train_epoch_fused use
 
     # ---- state ---------------------------------------------------------------
 
@@ -116,37 +117,63 @@ class Trainer:
 
     # ---- compiled steps --------------------------------------------------------
 
-    def _build_train_step(self):
+    def _step_core(self, state: TrainState, batch: CloudBatch, key: jax.Array):
+        """One gradient step (traced body shared by the plain and fused steps)."""
         model, tx = self.model, self.tx
+        k_fps, k_drop = jax.random.split(key)
 
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                rngs={"fps": k_fps, "dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            w = jnp.any(batch.mask, axis=1)  # zero-weight fully-padded clouds
+            loss = weighted_component_mse(out, batch.y, w)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = TrainState(
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    def _build_train_step(self):
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: CloudBatch, key: jax.Array):
-            k_fps, k_drop = jax.random.split(key)
-
-            def loss_fn(params):
-                out, updates = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    batch,
-                    train=True,
-                    rngs={"fps": k_fps, "dropout": k_drop},
-                    mutable=["batch_stats"],
-                )
-                w = jnp.any(batch.mask, axis=1)  # zero-weight fully-padded clouds
-                loss = weighted_component_mse(out, batch.y, w)
-                return loss, updates
-
-            (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            upd, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, upd)
-            new_state = TrainState(
-                params=params,
-                batch_stats=updates.get("batch_stats", state.batch_stats),
-                opt_state=opt_state,
-                step=state.step + 1,
-            )
-            return new_state, loss
+            return self._step_core(state, batch, key)
 
         return train_step
+
+    def _build_fused_train_step(self):
+        """Assemble+augment+train in ONE compiled computation: batches() costs
+        a second device dispatch per step (assembly is its own jit), and on a
+        tunneled backend dispatch latency is real — the fused step's inputs
+        are the device-resident dataset plus a handful of int32 specs."""
+        from dl_biomass_tpu.io.device_data import _assemble_batch
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("base_n",))
+        def fused_step(state, pos, feat, mask, y, idx, aug_flag, valid,
+                       akey, skey, *, base_n: int):
+            batch = _assemble_batch(pos, feat, mask, y, idx, aug_flag, valid,
+                                    akey, base_n=base_n)
+            if self.mesh is not None:
+                from dl_biomass_tpu.parallel.mesh import batch_sharding
+
+                s = batch_sharding(self.mesh)
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, s), batch
+                )
+            return self._step_core(state, batch, skey)
+
+        return fused_step
 
     def _build_eval_step(self):
         model = self.model
@@ -178,6 +205,29 @@ class Trainer:
         # one host sync per epoch, not per step
         n = int(sum(int(c) for c in counts))
         return state, float(np.mean([float(l) for l in losses])), n
+
+    def train_epoch_fused(
+        self, state: TrainState, ds, key: jax.Array, *,
+        batch_size: int, num_augs: int = 0, shuffle: bool = True,
+    ) -> Tuple[TrainState, float, int]:
+        """train_epoch over a DeviceDataset through the fused
+        assemble+augment+train step — ONE device dispatch per step instead of
+        two. Identical key discipline to ``ds.batches`` + ``train_epoch``, so
+        losses match the unfused path bit-for-bit (pinned by test)."""
+        if self._fused_train_step is None:
+            self._fused_train_step = self._build_fused_train_step()
+        losses = []
+        n_clouds = 0
+        for i, (idx, aug_flag, valid, akey) in enumerate(
+            ds.epoch_specs(batch_size, key=key, num_augs=num_augs, shuffle=shuffle)
+        ):
+            state, loss = self._fused_train_step(
+                state, ds.pos, ds.feat, ds.mask, ds.y, idx, aug_flag, valid,
+                akey, jax.random.fold_in(key, i), base_n=ds.base_n,
+            )
+            losses.append(loss)
+            n_clouds += int(valid.sum())  # host numpy — no device sync
+        return state, float(np.mean([float(l) for l in losses])), n_clouds
 
     def evaluate(self, state: TrainState, batches: Iterable[CloudBatch]) -> float:
         losses = []
@@ -214,8 +264,17 @@ class Trainer:
 
         Returns a history dict with per-epoch train/val MSE, throughput, and the
         best state.
+
+        ``train_batches_fn`` / ``val_batches_fn`` may also be DeviceDatasets
+        directly — training then runs through the fused assemble+train step
+        (one dispatch per step; same math, pinned by test) with
+        ``cfg.hp.batch_size`` / ``cfg.hp.num_augs``.
         """
         cfg = self.cfg
+        train_ds = train_batches_fn if hasattr(train_batches_fn, "epoch_specs") else None
+        if hasattr(val_batches_fn, "epoch_specs"):
+            val_ds = val_batches_fn
+            val_batches_fn = lambda: val_ds.batches(cfg.hp.batch_size)  # noqa: E731
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         stopper = EarlyStopping(cfg.hp.patience, cfg.early_stopping)
         history: Dict[str, Any] = {
@@ -254,7 +313,15 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             ep_key = jax.random.fold_in(key, epoch)
-            state, train_mse, n_clouds = self.train_epoch(state, train_batches_fn(ep_key), ep_key)
+            if train_ds is not None:
+                state, train_mse, n_clouds = self.train_epoch_fused(
+                    state, train_ds, ep_key,
+                    batch_size=cfg.hp.batch_size, num_augs=cfg.hp.num_augs,
+                )
+            else:
+                state, train_mse, n_clouds = self.train_epoch(
+                    state, train_batches_fn(ep_key), ep_key
+                )
             val_mse = self.evaluate(state, val_batches_fn())
             dt = time.perf_counter() - t0
 

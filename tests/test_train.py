@@ -113,6 +113,54 @@ class TestEndToEnd:
         assert len(lines) == 4
         assert lines[0].startswith("0, ")
 
+    def test_fused_epoch_matches_unfused_bitwise(self):
+        """train_epoch_fused (assemble+augment+train in one dispatch) must
+        reproduce the two-dispatch path's losses bit-for-bit — same key
+        discipline, same math, one fewer device round-trip per step."""
+        ds, cfg, trainer = small_setup(plots=10, batch=4)  # incl. partial batch
+        key = jax.random.key(0)
+        example = next(ds.batches(4))
+        s0 = trainer.init_state(key, example)
+        s0b = jax.tree.map(jnp.copy, s0)  # steps donate their input state
+        ep_key = jax.random.key(7)
+
+        losses_a = []
+        state = s0
+        for i, batch in enumerate(ds.batches(4, key=ep_key, num_augs=1, shuffle=True)):
+            state, loss = trainer._train_step(state, batch, jax.random.fold_in(ep_key, i))
+            losses_a.append(float(loss))
+        a_params = state.params
+
+        state_b, mean_b, n_clouds = trainer.train_epoch_fused(
+            s0b, ds, ep_key, batch_size=4, num_augs=1
+        )
+        assert n_clouds == 20  # 10 plots x (1 + 1 aug)
+        np.testing.assert_array_equal(np.float32(np.mean(losses_a)),
+                                      np.float32(mean_b))
+        for x, y in zip(jax.tree.leaves(a_params), jax.tree.leaves(state_b.params)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_fit_accepts_datasets_directly(self, tmp_path):
+        """fit(state, ds_train, ds_val) routes through the fused step and
+        produces the same history as the lambda form."""
+        ds, cfg, trainer = small_setup()
+        key = jax.random.key(0)
+        example = next(ds.batches(cfg.hp.batch_size))
+
+        h1 = trainer.fit(
+            trainer.init_state(key, example),
+            train_batches_fn=lambda k: ds.batches(cfg.hp.batch_size, key=k,
+                                                  num_augs=1, shuffle=True),
+            val_batches_fn=lambda: ds.batches(cfg.hp.batch_size),
+            key=key, num_epochs=2, log_fn=lambda s: None,
+        )
+        h2 = trainer.fit(
+            trainer.init_state(key, example), ds, ds,
+            key=key, num_epochs=2, log_fn=lambda s: None,
+        )
+        np.testing.assert_allclose(h1["train_mse"], h2["train_mse"], rtol=1e-6)
+        np.testing.assert_allclose(h1["val_mse"], h2["val_mse"], rtol=1e-6)
+
     def test_partial_final_batch_is_padded_not_dropped(self):
         ds, cfg, trainer = small_setup(plots=10, batch=4)  # 10 % 4 != 0
         batches = list(ds.batches(4))
