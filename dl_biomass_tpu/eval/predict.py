@@ -77,7 +77,6 @@ def predict_directory(
 
     pred = None
     if engine and not parity:
-        import jax
         import jax.numpy as jnp
 
         from dl_biomass_tpu.models.inference import compile_inference

@@ -32,8 +32,7 @@ voxels only:
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
