@@ -93,6 +93,7 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._fused_train_step = None  # built on first train_epoch_fused use
+        self._fused_eval_step = None  # built on first evaluate_fused use
 
     # ---- state ---------------------------------------------------------------
 
@@ -229,6 +230,47 @@ class Trainer:
             n_clouds += int(valid.sum())  # host numpy — no device sync
         return state, float(np.mean([float(l) for l in losses])), n_clouds
 
+    def _build_fused_eval_step(self):
+        """Assemble+eval in one computation (see _build_fused_train_step)."""
+        from dl_biomass_tpu.io.device_data import _assemble_batch
+
+        model = self.model
+
+        @partial(jax.jit, static_argnames=("base_n",))
+        def fused_eval(params, batch_stats, pos, feat, mask, y, idx, valid,
+                       *, base_n: int):
+            zeros = jnp.zeros(idx.shape[0], bool)  # no augmentation in eval
+            batch = _assemble_batch(pos, feat, mask, y, idx, zeros, valid,
+                                    jax.random.key(0), base_n=base_n)
+            if self.mesh is not None:
+                from dl_biomass_tpu.parallel.mesh import batch_sharding
+
+                s = batch_sharding(self.mesh)
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, s), batch
+                )
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, train=False
+            )
+            w = jnp.any(batch.mask, axis=1)
+            return weighted_component_mse(out, batch.y, w), out
+
+        return fused_eval
+
+    def evaluate_fused(self, state: TrainState, ds, *, batch_size: int) -> float:
+        """evaluate() over a DeviceDataset through one dispatch per batch."""
+        if self._fused_eval_step is None:
+            self._fused_eval_step = self._build_fused_eval_step()
+        losses = []
+        for idx, _, valid, _ in ds.epoch_specs(batch_size):
+            loss, _ = self._fused_eval_step(
+                state.params, state.batch_stats,
+                ds.pos, ds.feat, ds.mask, ds.y,
+                idx, valid, base_n=ds.base_n,
+            )
+            losses.append(loss)
+        return float(np.mean([float(l) for l in losses]))
+
     def evaluate(self, state: TrainState, batches: Iterable[CloudBatch]) -> float:
         losses = []
         for batch in batches:
@@ -272,9 +314,7 @@ class Trainer:
         """
         cfg = self.cfg
         train_ds = train_batches_fn if hasattr(train_batches_fn, "epoch_specs") else None
-        if hasattr(val_batches_fn, "epoch_specs"):
-            val_ds = val_batches_fn
-            val_batches_fn = lambda: val_ds.batches(cfg.hp.batch_size)  # noqa: E731
+        val_ds = val_batches_fn if hasattr(val_batches_fn, "epoch_specs") else None
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         stopper = EarlyStopping(cfg.hp.patience, cfg.early_stopping)
         history: Dict[str, Any] = {
@@ -322,7 +362,11 @@ class Trainer:
                 state, train_mse, n_clouds = self.train_epoch(
                     state, train_batches_fn(ep_key), ep_key
                 )
-            val_mse = self.evaluate(state, val_batches_fn())
+            if val_ds is not None:
+                val_mse = self.evaluate_fused(state, val_ds,
+                                              batch_size=cfg.hp.batch_size)
+            else:
+                val_mse = self.evaluate(state, val_batches_fn())
             dt = time.perf_counter() - t0
 
             history["epoch"].append(epoch)

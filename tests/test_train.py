@@ -140,6 +140,13 @@ class TestEndToEnd:
         for x, y in zip(jax.tree.leaves(a_params), jax.tree.leaves(state_b.params)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_evaluate_fused_matches_unfused(self):
+        ds, cfg, trainer = small_setup(plots=10, batch=4)
+        state = trainer.init_state(jax.random.key(0), next(ds.batches(4)))
+        a = trainer.evaluate(state, ds.batches(4))
+        b = trainer.evaluate_fused(state, ds, batch_size=4)
+        np.testing.assert_array_equal(np.float32(a), np.float32(b))
+
     def test_fit_accepts_datasets_directly(self, tmp_path):
         """fit(state, ds_train, ds_val) routes through the fused step and
         produces the same history as the lambda form."""
