@@ -296,3 +296,23 @@ class TestSelectionKernelsOnTPU:
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(got[3]), np.asarray(want[3]),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_sa1_fused_eval_compiled_matches_interpret(self, rng):
+        """The fused eval SA1 kernel (ops/pallas_sa_eval.py) compiled on the
+        chip vs interpret mode — selection identical, MLP to f32 tolerance."""
+        from dl_biomass_tpu.ops.pallas_sa_eval import sa1_fused_eval
+
+        b, n, m = 2, 512, 64
+        pos = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+        mask = jnp.asarray(rng.random((b, n)) > 0.1)
+        feat = jnp.asarray(rng.normal(size=(b, n, 1)), jnp.float32)
+        centers, cmask = pos[:, :m], mask[:, :m]
+        mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+        ws = [mk(4, 64), mk(64), mk(64, 64), mk(64), mk(64, 128), mk(128)]
+        got = sa1_fused_eval(centers, cmask, pos, mask, feat, ws, radius=0.7,
+                             interpret=False)
+        want = sa1_fused_eval(centers, cmask, pos, mask, feat, ws, radius=0.7,
+                              interpret=True)
+        # compiled TPU f32 dots lower to bf16 passes; bound the deviation
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
