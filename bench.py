@@ -35,7 +35,9 @@ B_HEAD = 36  # clouds per step (headline)
 B = 16  # rounds 1-2 reporting point; also the config-row batch
 N = 10240  # ~10k pts, lane-aligned
 TIMED_STEPS = 8
-REPEATS = 3  # best-of: the axon tunnel adds ~10% run-to-run drift
+REPEATS = 5  # best-of: the axon tunnel adds ~10% run-to-run drift; the floor
+# over more windows is the machine-capability number (3 windows measured
+# 499-503 clouds/s across runs — drift, not change)
 
 
 def _make_batch(rng, b, n, f=1):
