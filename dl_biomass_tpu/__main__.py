@@ -358,6 +358,9 @@ def cmd_predict(argv):
     p.add_argument("--in-dir", required=True)
     p.add_argument("--out", required=True, help="predictions CSV path")
     p.add_argument("--glob", default="*.las")
+    p.add_argument("--datasets", default=None,
+                   help="comma-separated 2-char filename prefixes to keep "
+                        "(default: every prefix present in --in-dir)")
     p.add_argument("--presampled", default="true",
                    help="true: already-resampled clouds (load all points); "
                         "false: raw LAS (height filter + random subsample)")
@@ -376,6 +379,7 @@ def cmd_predict(argv):
         args.model_dir, args.in_dir, args.out,
         model_file=args.model_file,
         use_presampled=args.presampled.lower() in ("1", "true", "yes"),
+        use_datasets=args.datasets.split(",") if args.datasets else None,
         num_points=args.num_points, glob=args.glob,
         batch_size=args.batch_size, presampled_suffix=args.presampled_suffix,
         parity=args.parity, engine=not args.no_engine,

@@ -48,7 +48,14 @@ def predict_directory(
     from dl_biomass_tpu.eval.testing import load_model_for_eval, predict_dataset
 
     use_columns = use_columns or ["intensity_normalized"]
-    use_datasets = use_datasets or ["BC", "RM", "PF"]
+    if use_datasets is None:
+        # deployment plots carry arbitrary names — default to accepting every
+        # file's prefix rather than the training corpora's {BC, RM, PF}
+        import glob as _glob
+
+        names = [os.path.basename(p) for p in
+                 _glob.glob(os.path.join(in_dir, glob))]
+        use_datasets = sorted({n.split(".")[0][:2] for n in names}) or ["BC"]
     model, params, batch_stats, path = load_model_for_eval(
         model_dir, model_file, parity=parity
     )

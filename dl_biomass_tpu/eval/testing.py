@@ -46,8 +46,10 @@ def load_model_for_eval(model_dir: str, model_file: Optional[str] = None,
         sidecar = json.load(f)
     mdict = dict(sidecar["model"])
     if parity:
-        mdict.update(compute_dtype="float32", fast_group=False,
-                     fused_sa=False, exact_selection=True)
+        # must match TrainConfig.apply_parity's model overrides exactly
+        # (analytic_bn included: parity keeps the literal Linear->BN form)
+        mdict.update(compute_dtype="float32", fast_group=False, fast_fps=False,
+                     fused_sa=False, exact_selection=True, analytic_bn=False)
     model = model_from_dict(mdict)
     with ocp.StandardCheckpointer() as ckptr:
         raw = ckptr.restore(path)

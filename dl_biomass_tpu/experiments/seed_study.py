@@ -10,9 +10,13 @@ synthetic corpus (``io/synthetic.py``) and reports val-MSE / held-out R²
 mean ± sd per mode.
 
 Modes:
-  production           — TrainConfig defaults (bf16, fast_group, exact bq)
-  production+fast_fps  — production with sectored multi-start FPS
+  production           — bf16, fast_group, exact bq, EXACT FPS (fast_fps
+                         forced off — this mode isolates the FPS question;
+                         it is NOT the shipped default)
+  production+fast_fps  — the shipped TrainConfig defaults (adds sectored
+                         multi-start FPS)
   parity               — ``TrainConfig.apply_parity()`` numerics
+  voxelnet             — the voxel-grid CNN family on the same corpus
 
 Usage: ``python -m dl_biomass_tpu seed-study --seeds 5 --out study.json``
 """

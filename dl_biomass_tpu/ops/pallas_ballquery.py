@@ -157,8 +157,11 @@ def ball_query_pallas(
         interpret = jax.default_backend() != "tpu"
     if n >= (1 << _KEY_BITS):
         raise ValueError(f"n={n} exceeds the packed-key budget 2^{_KEY_BITS}")
-    if k > 128:
-        raise ValueError(f"k={k} > 128 unsupported")
+    if k >= 128:
+        # the packed value min(rank, k) << 24 must stay below 2^31: k=128
+        # makes over-rank entries negative, and they would win every
+        # extraction round and displace all real candidates
+        raise ValueError(f"k={k} >= 128 unsupported (rank<<24 packing)")
 
     n_pad = round_up(n, _G)
     l_dim = n_pad // _G

@@ -18,17 +18,15 @@ grid=(B,) with an in-kernel fori over centroid tiles (per-grid-step overhead
 is still ~16 us), aligned sublane ``pl.ds`` slices, and single-pass bf16 dots
 with f32 accumulation (the engine's production numerics).
 
-Two selection flavors, matching the production engine exactly:
-
-  * ``sa1``: stratified pair-min selection + plane capture — identical
-    selection semantics to ``ops/pallas_group.ball_group_pallas`` (the
-    production SA1 path), layer-1 matmul as outer products over the <=7
-    [feat..., dx, dy, dz] channels;
-  * ``sa2``: exact first-K rank-scatter selection — identical semantics to
-    ``ops/pallas_ballquery.ball_query_pallas`` (torch_cluster first-K,
-    reference ``pointnet2_regressor.py:14-15``) — with the wide feature table
-    VMEM-resident and captured by a one-hot MXU contraction (the in-kernel
-    form of ``ops/pallas_mxu_gather``), positions riding the same one-hot.
+Scope: the SA1 layer only — stratified pair-min selection + plane capture
+(identical selection semantics to ``ops/pallas_group.ball_group_pallas``,
+the production SA1 path), layer-1 as outer products over the <=7
+[feat..., dx, dy, dz] channels. An SA2 flavor (exact rank-scatter selection
++ in-kernel one-hot MXU gather of the wide feature table) was designed but
+NOT built: the SA1 measurement already showed the whole approach capped by
+VPU selection cost that scales with batch (ties at B=16, loses at B=36),
+so SA2 — whose selection kernel is the most VPU-bound of all — could not
+win. Build it only if those economics change.
 
 Eval only: no VJP (training keeps the unfused autodiff path).
 """
@@ -49,12 +47,6 @@ from dl_biomass_tpu.core.cloud import round_up
 _G = 128  # lane width / stratification residues
 _K = 64  # neighbor slots (= reference max_num_neighbors)
 _CM = 32  # centroids per inner tile
-
-# rank-scatter constants (mirror ops/pallas_ballquery.py)
-_R = 8  # selection rounds; R*G >= 1024 candidates scanned per centroid
-_KEY_BITS = 15
-_KEY_MASK = (1 << _KEY_BITS) - 1
-_INT_BIG_PY = 0x7FFFFFFF
 
 
 def _mlp_tail(a1f, w2_ref, b2_ref, w3_ref, b3_ref, dot_dt):

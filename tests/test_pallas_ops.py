@@ -75,6 +75,22 @@ class TestBallQueryPallas:
         gm_ = np.asarray(gm)
         np.testing.assert_array_equal(np.asarray(gi)[gm_], np.asarray(wi)[gm_])
 
+    def test_k_128_rejected(self, rng):
+        """k=128 would overflow the min(rank,k)<<24 int32 packing (over-rank
+        entries go negative and win every extraction round) — hard error."""
+        pos, mask = clouds(rng, b=1, n=256)
+        with pytest.raises(ValueError, match="128"):
+            ball_query_pallas(pos[:, :16], mask[:, :16], pos, mask,
+                              radius=2.0, k=128, interpret=True)
+        # k=127 stays in budget: 127<<24 < 2^31
+        gi, gm = ball_query_pallas(pos[:, :16], mask[:, :16], pos, mask,
+                                   radius=50.0, k=127, interpret=True)
+        wi, wm = ball_query(pos[:, :16], mask[:, :16], pos, mask,
+                            radius=50.0, k=127, method="exact")
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(wm))
+        gm_ = np.asarray(gm)
+        np.testing.assert_array_equal(np.asarray(gi)[gm_], np.asarray(wi)[gm_])
+
     def test_pad_points_never_returned(self, rng):
         pos, mask = clouds(rng, b=1, n=256, n_valid=[100])
         gi, gm = ball_query_pallas(pos[:, :16], mask[:, :16], pos, mask,

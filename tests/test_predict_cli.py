@@ -90,6 +90,21 @@ def test_predict_cli_subcommand(checkpoint_and_plots):
     assert len(pd.read_csv(out)) == 5
 
 
+def test_predict_accepts_arbitrary_plot_names(checkpoint_and_plots, rng):
+    """Deployment plots aren't named after the training corpora (BC/RM/PF);
+    the default accepts every prefix present in the directory."""
+    ckpt_dir, plot_dir, tmp_path = checkpoint_and_plots
+    import tempfile
+
+    other = tempfile.mkdtemp(dir=tmp_path)
+    coords, intensity, _ = synthetic_plot(rng, 256)
+    inorm = (intensity - intensity.min()) / max(float(np.ptp(intensity)), 1) * 20
+    write_las(coords, os.path.join(other, "site_001.las"),
+              {"intensity_normalized": inorm.astype(np.float32)})
+    df = predict_directory(ckpt_dir, other, None, batch_size=2)
+    assert list(df.index) == ["site_001"]
+
+
 def test_predict_empty_dir_errors(checkpoint_and_plots, tmp_path):
     ckpt_dir, _, _ = checkpoint_and_plots
     empty = str(tmp_path / "empty")
