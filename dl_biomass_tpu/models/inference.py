@@ -83,6 +83,15 @@ def compile_inference(model, variables, fused_eval: bool = False) -> Callable:
     loses at B=36 (39.5 vs 37.8) — the kernel's VPU selection cost scales
     linearly with batch while the XLA chain amortizes (docs/BENCHMARKS.md
     "round 3: the Pallas re-probe")."""
+    from dl_biomass_tpu.models.pointnet2 import PointNet2Regressor
+
+    if not isinstance(model, PointNet2Regressor):
+        # e.g. VoxelNet: a getattr probe here would raise AttributeError and
+        # slip past callers' NotImplementedError fallbacks (eval/predict.py)
+        raise NotImplementedError(
+            f"inference engine covers PointNet2Regressor; got "
+            f"{type(model).__name__} — serve it through model.apply"
+        )
     if model.activation_function != "ReLU" or model.msg or model.max_neighbors != 64:
         raise NotImplementedError(
             "inference engine covers the flagship SSG/ReLU/K=64 config; "

@@ -105,6 +105,42 @@ def test_predict_accepts_arbitrary_plot_names(checkpoint_and_plots, rng):
     assert list(df.index) == ["site_001"]
 
 
+def test_predict_voxelnet_checkpoint_falls_back_to_apply(tmp_path, rng):
+    """A non-PointNet2 family checkpoint serves through model.apply (the
+    engine raises NotImplementedError, not AttributeError)."""
+    n = 256
+    plot_dir = tmp_path / "plots"
+    os.makedirs(plot_dir)
+    coords, intensity, _ = synthetic_plot(rng, n)
+    inorm = (intensity - intensity.min()) / max(float(np.ptp(intensity)), 1) * 20
+    write_las(coords, str(plot_dir / "RM_000_fps_7168.las"),
+              {"intensity_normalized": inorm.astype(np.float32)})
+
+    cfg = TrainConfig(hp=HyperParams(batch_size=2, num_points=n))
+    cfg.model.family = "voxelnet"
+    cfg.model.voxel_grid = 8
+    cfg.model.compute_dtype = "float32"
+    model = build_model(cfg, num_features=1)
+    trainer = Trainer(model, cfg)
+    from dl_biomass_tpu.core.cloud import CloudBatch
+
+    batch = CloudBatch(
+        pos=jnp.asarray(rng.normal(size=(2, n, 3)), jnp.float32),
+        feat=jnp.asarray(rng.normal(size=(2, n, 1)), jnp.float32),
+        mask=jnp.ones((2, n), bool),
+        y=jnp.zeros((2, 4), jnp.float32),
+    )
+    state = trainer.init_state(jax.random.key(0), batch)
+    ckpt_dir = str(tmp_path / "voxmodel")
+    save_checkpoint(ckpt_dir, state, epoch=0, val_mse=1.0)
+    with open(os.path.join(ckpt_dir, "model_config.json"), "w") as f:
+        json.dump({"model": model_to_dict(model), "train": cfg.to_dict()}, f)
+
+    df = predict_directory(ckpt_dir, str(plot_dir), None, batch_size=2)
+    assert list(df.index) == ["RM_000"]
+    assert np.isfinite(df.to_numpy()).all()
+
+
 def test_predict_empty_dir_errors(checkpoint_and_plots, tmp_path):
     ckpt_dir, _, _ = checkpoint_and_plots
     empty = str(tmp_path / "empty")
