@@ -57,15 +57,16 @@ def rotate_points(key: jax.Array, pos: jax.Array) -> jax.Array:
     return jnp.stack([x * c + y * s, -x * s + y * c, z], axis=-1)
 
 
-def _ranks_over_valid(key: jax.Array, mask: jax.Array) -> jax.Array:
-    """Random permutation ranks: valid slots get distinct ranks 0..nv-1, invalid
-    slots get ranks >= nv. Implements 'uniform random subset of size k' as
-    rank < k for a traced k."""
+def _ranks_over_valid(key: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Random permutation over valid slots: returns ``(ranks, order)`` where
+    valid slots get distinct ranks 0..nv-1 (invalid >= nv) and ``order[r]`` is
+    the slot holding rank r. 'Uniform random subset of size k' = rank < k for
+    a traced k; its members in permutation order are ``order[:k]``."""
     n = mask.shape[0]
     scores = jnp.where(mask, jax.random.uniform(key, (n,)), jnp.inf)
     order = jnp.argsort(scores)  # valid slots first, in random order
     ranks = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return ranks
+    return ranks, order
 
 
 def _randint_traced(key: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
@@ -75,13 +76,19 @@ def _randint_traced(key: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     return lo + jnp.floor(u * span).astype(jnp.int32)
 
 
-def point_removal(key: jax.Array, mask: jax.Array) -> jax.Array:
-    """Mask out a random subset so the kept count ~ U[round(0.9*nv), nv]."""
+def point_removal(key: jax.Array, mask: jax.Array, ranks: Optional[jax.Array] = None) -> jax.Array:
+    """Mask out a random subset so the kept count ~ U[round(0.9*nv), nv].
+
+    ``ranks`` (from :func:`_ranks_over_valid`) may be shared with
+    :func:`random_noise` — a prefix of one uniform permutation is a uniform
+    subset, and conditioned on the kept prefix, a shorter prefix is a uniform
+    subset OF the kept set, so one sort serves both draws exactly."""
     k_rank, k_cnt = jax.random.split(key)
     nv = jnp.sum(mask.astype(jnp.int32))
     lo = jnp.round(0.9 * nv).astype(jnp.int32)
     keep = _randint_traced(k_cnt, lo, nv)
-    ranks = _ranks_over_valid(k_rank, mask)
+    if ranks is None:
+        ranks, _ = _ranks_over_valid(k_rank, mask)
     return mask & (ranks < keep)
 
 
@@ -91,6 +98,7 @@ def random_noise(
     feat: jax.Array,  # (C, F)
     mask: jax.Array,  # (C,)
     base_n: int,
+    order: Optional[jax.Array] = None,  # shared valid-slot permutation
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Append jittered duplicates to the ORIGINAL (un-jittered) cloud.
 
@@ -111,10 +119,11 @@ def random_noise(
     hi = jnp.round(0.1 * nv.astype(jnp.float32)).astype(jnp.int32)
     n_extra = jnp.minimum(_randint_traced(k_cnt, jnp.int32(0), hi), cap_extra)
 
-    ranks = _ranks_over_valid(k_rank, mask)
-    # src_by_rank[r] = slot index of the valid point with rank r
-    src_by_rank = jnp.zeros((c,), jnp.int32).at[ranks].set(jnp.arange(c, dtype=jnp.int32))
-    app_src = src_by_rank[:cap_extra]  # source slot for each append slot
+    if order is None:
+        _, order = _ranks_over_valid(k_rank, mask)
+    # order[r] = slot of the valid point with rank r: the permutation prefix
+    # IS the uniform append subset (see point_removal's sharing note)
+    app_src = order[:cap_extra]  # source slot for each append slot
     app_valid = jnp.arange(cap_extra, dtype=jnp.int32) < n_extra
 
     out_pos = pos.at[base_n:].set(jnp.where(app_valid[:, None], noisy_pos[app_src], 0.0))
@@ -135,9 +144,14 @@ def augment_cloud(
     (order per ``augmentation.py:278-280``); optional trailing random_scale."""
     if base_n is None:
         base_n = mask.shape[0] - mask.shape[0] // 11  # default: cap = ceil(1.1 n)
-    k_rm, k_noise, k_rot, k_sc = jax.random.split(key, 4)
-    mask = point_removal(k_rm, mask)
-    pos, feat, mask = random_noise(k_noise, pos, feat, mask, base_n)
+    k_rm, k_noise, k_rot, k_sc, k_perm = jax.random.split(key, 5)
+    # ONE shared permutation serves both subset draws exactly (the removal
+    # keep-set is a prefix; the append set is a shorter prefix, which given
+    # the keep-set is a uniform subset of it — the sort is half the
+    # augmentation's cost at 7k points, so not paying it twice matters)
+    ranks, order = _ranks_over_valid(k_perm, mask)
+    mask = point_removal(k_rm, mask, ranks=ranks)
+    pos, feat, mask = random_noise(k_noise, pos, feat, mask, base_n, order=order)
     pos = rotate_points(k_rot, pos)
     if with_scale:
         pos = random_scale(k_sc, pos)

@@ -118,6 +118,30 @@ class TestRandomScale:
         p2, f2, m2 = augment_cloud(jax.random.key(0), pos, feat, mask, n, with_scale=True)
         assert np.isfinite(np.asarray(p2)).all()
 
+    def test_appended_sources_survive_removal(self):
+        """The chain shares ONE permutation between removal and append (a
+        shorter prefix of the keep-prefix); every appended point must be a
+        copy of a point that SURVIVED removal (reference augmentation.py:
+        113-120 samples from the post-removal cloud)."""
+        from dl_biomass_tpu.transforms.augment import augment_cloud, rotate_points
+
+        checked = 0
+        for key in range(30):
+            pos, feat, mask, n = base_cloud(n=100)
+            k = jax.random.key(key)
+            p2, f2, m2 = augment_cloud(k, pos, feat, mask, n)
+            m2 = np.asarray(m2)
+            app_feat = np.asarray(f2)[n:][m2[n:]]  # features aren't rotated
+            if not len(app_feat):
+                continue
+            kept_feat = np.asarray(f2)[:n][m2[:n]]
+            checked += len(app_feat)
+            # each appended feature = kept feature + noise (sigma <= 0.025):
+            # nearest kept feature must be well within 0.2
+            d = np.abs(app_feat[:, None, 0] - kept_feat[None, :, 0]).min(1)
+            assert d.max() < 0.2, d.max()
+        assert checked > 0
+
 
 class TestAugmentBatch:
     def test_batch_shapes_and_y_passthrough(self):
