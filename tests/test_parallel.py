@@ -74,6 +74,21 @@ class TestDataParallel:
         state, mse, n = trainer.train_epoch(state, data.batches(8), jax.random.key(1))
         assert np.isfinite(mse) and n == 8
 
+    def test_dp_fused_epoch_matches_unfused(self, data):
+        """train_epoch_fused under the mesh (in-step dp sharding constraint)
+        matches the shard_batch + train_epoch path."""
+        cfg = TrainConfig(hp=HyperParams(batch_size=8, num_augs=0))
+        model = PointNet2Regressor(num_features=1)
+        mesh = make_mesh(dp=8, mp=1)
+        trainer = Trainer(model, cfg, mesh=mesh)
+        s0 = trainer.init_state(jax.random.key(0), next(data.batches(8)))
+        s0b = jax.tree.map(jnp.copy, s0)  # steps donate their input state
+        key = jax.random.key(1)
+        _, mse_a, _ = trainer.train_epoch(s0, data.batches(8, key=key, shuffle=True), key)
+        _, mse_b, n = trainer.train_epoch_fused(s0b, data, key, batch_size=8)
+        assert n == 8
+        np.testing.assert_allclose(mse_a, mse_b, rtol=1e-5)
+
 
 class TestModelParallel:
     def test_point_axis_sharding_compiles_and_matches(self, data):
