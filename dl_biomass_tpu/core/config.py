@@ -107,6 +107,11 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     num_epochs: int = 100
     early_stopping: bool = True
+    # Run each epoch as ONE device dispatch (lax.scan over the fused
+    # assemble+augment+step body) instead of one dispatch per step. Same math
+    # and key discipline as the per-step path (pinned by test); on a tunneled
+    # backend this removes an epoch's worth of dispatch round-trips.
+    scan_epochs: bool = True
     seed: int = 0
     model_dir: str = "models_out"
     log_every: int = 1

@@ -157,6 +157,40 @@ class DeviceDataset:
                 valid = np.concatenate([valid, np.zeros(pad, bool)])
             yield chunk, achunk, valid, jax.random.fold_in(akey, b0)
 
+    def epoch_spec_arrays(
+        self,
+        batch_size: int,
+        *,
+        key: Optional[jax.Array] = None,
+        num_augs: int = 0,
+        shuffle: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """All of one epoch's batch specs stacked: ``(idxs (S,B), aug_flags
+        (S,B), valids (S,B), b0s (S,))`` host numpy — the input layout of the
+        scan-over-steps epoch (Trainer.train_epoch_scan), which runs the whole
+        epoch as ONE device dispatch. ``b0s`` carries each step's batch offset
+        so the scan body can derive the step's augmentation key exactly as
+        ``epoch_specs`` does (``fold_in(key, b0)``) — the two paths stay
+        bit-identical."""
+        if num_augs > 0 and key is None:
+            raise ValueError(
+                "epoch_spec_arrays(num_augs>0) needs a PRNG key — without one "
+                "every epoch would see identical augmentations"
+            )
+        order, aug = self.epoch_order(key, num_augs, shuffle)
+        n = len(order)
+        s = (n + batch_size - 1) // batch_size
+        idxs = np.zeros((s, batch_size), np.int32)
+        augs = np.zeros((s, batch_size), bool)
+        valids = np.zeros((s, batch_size), bool)
+        b0s = np.arange(s, dtype=np.int32) * batch_size
+        for si, b0 in enumerate(range(0, n, batch_size)):
+            chunk = order[b0 : b0 + batch_size]
+            idxs[si, : len(chunk)] = chunk
+            augs[si, : len(chunk)] = aug[b0 : b0 + batch_size]
+            valids[si, : len(chunk)] = True
+        return idxs, augs, valids, b0s
+
     def batches(
         self,
         batch_size: int,

@@ -94,6 +94,8 @@ class Trainer:
         self._eval_step = self._build_eval_step()
         self._fused_train_step = None  # built on first train_epoch_fused use
         self._fused_eval_step = None  # built on first evaluate_fused use
+        self._scan_train_epoch = None  # built on first train_epoch_scan use
+        self._scan_eval_epoch = None  # built on first evaluate_scan use
 
     # ---- state ---------------------------------------------------------------
 
@@ -230,6 +232,112 @@ class Trainer:
             n_clouds += int(valid.sum())  # host numpy — no device sync
         return state, float(np.mean([float(l) for l in losses])), n_clouds
 
+    def _build_scan_train_epoch(self):
+        """The WHOLE training epoch as one compiled computation: lax.scan over
+        the per-step specs, each iteration = assemble + augment + gradient
+        step (the fused-step body). On the tunneled backend every dispatch
+        costs real round-trip latency, and per-step loss retrieval costs
+        another — scanning collapses an epoch's 2S round trips to 1. Key
+        discipline matches train_epoch_fused exactly (``fold_in(akey, b0)`` /
+        ``fold_in(key, i)`` inside the body), so losses and parameters are
+        bit-identical to the per-step paths (pinned by test)."""
+        from dl_biomass_tpu.io.device_data import _assemble_batch
+
+        def constrain(batch):
+            if self.mesh is None:
+                return batch
+            from dl_biomass_tpu.parallel.mesh import batch_sharding
+
+            s = batch_sharding(self.mesh)
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, s), batch
+            )
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("base_n",))
+        def scan_epoch(state, pos, feat, mask, y, idxs, aug_flags, valids,
+                       b0s, steps, akey, key, *, base_n: int):
+            def body(st, per):
+                idx, aug_flag, valid, b0, i = per
+                batch = _assemble_batch(
+                    pos, feat, mask, y, idx, aug_flag, valid,
+                    jax.random.fold_in(akey, b0), base_n=base_n,
+                )
+                return self._step_core(st, constrain(batch), jax.random.fold_in(key, i))
+
+            return jax.lax.scan(body, state, (idxs, aug_flags, valids, b0s, steps))
+
+        return scan_epoch
+
+    def train_epoch_scan(
+        self, state: TrainState, ds, key: jax.Array, *,
+        batch_size: int, num_augs: int = 0, shuffle: bool = True,
+    ) -> Tuple[TrainState, float, int]:
+        """train_epoch over a DeviceDataset as ONE device dispatch: the scanned
+        fused step (see _build_scan_train_epoch). Bit-identical losses/params
+        to train_epoch_fused; one loss array comes back per epoch instead of
+        one scalar per step."""
+        if self._scan_train_epoch is None:
+            self._scan_train_epoch = self._build_scan_train_epoch()
+        idxs, augs, valids, b0s = ds.epoch_spec_arrays(
+            batch_size, key=key, num_augs=num_augs, shuffle=shuffle
+        )
+        akey = key if key is not None else jax.random.key(0)
+        state, losses = self._scan_train_epoch(
+            state, ds.pos, ds.feat, ds.mask, ds.y,
+            jnp.asarray(idxs), jnp.asarray(augs), jnp.asarray(valids),
+            jnp.asarray(b0s), jnp.arange(len(b0s), dtype=jnp.int32),
+            akey, key, base_n=ds.base_n,
+        )
+        return state, float(np.mean(np.asarray(losses))), int(valids.sum())
+
+    def _build_scan_eval_epoch(self):
+        """Whole validation epoch in one dispatch (scan of the fused eval)."""
+        from dl_biomass_tpu.io.device_data import _assemble_batch
+
+        model = self.model
+
+        def constrain(batch):
+            if self.mesh is None:
+                return batch
+            from dl_biomass_tpu.parallel.mesh import batch_sharding
+
+            s = batch_sharding(self.mesh)
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, s), batch
+            )
+
+        @partial(jax.jit, static_argnames=("base_n",))
+        def scan_eval(params, batch_stats, pos, feat, mask, y, idxs, valids,
+                      *, base_n: int):
+            def body(_, per):
+                idx, valid = per
+                zeros = jnp.zeros(idx.shape[0], bool)  # no augmentation in eval
+                batch = _assemble_batch(pos, feat, mask, y, idx, zeros, valid,
+                                        jax.random.key(0), base_n=base_n)
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    constrain(batch), train=False,
+                )
+                w = jnp.any(batch.mask, axis=1)
+                return 0, weighted_component_mse(out, batch.y, w)
+
+            _, losses = jax.lax.scan(body, 0, (idxs, valids))
+            return losses
+
+        return scan_eval
+
+    def evaluate_scan(self, state: TrainState, ds, *, batch_size: int) -> float:
+        """evaluate() over a DeviceDataset in one dispatch per epoch."""
+        if self._scan_eval_epoch is None:
+            self._scan_eval_epoch = self._build_scan_eval_epoch()
+        idxs, _, valids, _ = ds.epoch_spec_arrays(batch_size)
+        losses = self._scan_eval_epoch(
+            state.params, state.batch_stats,
+            ds.pos, ds.feat, ds.mask, ds.y,
+            jnp.asarray(idxs), jnp.asarray(valids), base_n=ds.base_n,
+        )
+        return float(np.mean(np.asarray(losses)))
+
     def _build_fused_eval_step(self):
         """Assemble+eval in one computation (see _build_fused_train_step)."""
         from dl_biomass_tpu.io.device_data import _assemble_batch
@@ -353,8 +461,10 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             ep_key = jax.random.fold_in(key, epoch)
+            scan = cfg.scan_epochs
             if train_ds is not None:
-                state, train_mse, n_clouds = self.train_epoch_fused(
+                epoch_fn = self.train_epoch_scan if scan else self.train_epoch_fused
+                state, train_mse, n_clouds = epoch_fn(
                     state, train_ds, ep_key,
                     batch_size=cfg.hp.batch_size, num_augs=cfg.hp.num_augs,
                 )
@@ -363,8 +473,8 @@ class Trainer:
                     state, train_batches_fn(ep_key), ep_key
                 )
             if val_ds is not None:
-                val_mse = self.evaluate_fused(state, val_ds,
-                                              batch_size=cfg.hp.batch_size)
+                eval_fn = self.evaluate_scan if scan else self.evaluate_fused
+                val_mse = eval_fn(state, val_ds, batch_size=cfg.hp.batch_size)
             else:
                 val_mse = self.evaluate(state, val_batches_fn())
             dt = time.perf_counter() - t0

@@ -89,6 +89,23 @@ class TestDataParallel:
         assert n == 8
         np.testing.assert_allclose(mse_a, mse_b, rtol=1e-5)
 
+    def test_dp_scan_epoch_matches_fused(self, data):
+        """train_epoch_scan under the mesh (one dispatch per epoch, in-body dp
+        sharding constraint) matches the per-step fused path."""
+        cfg = TrainConfig(hp=HyperParams(batch_size=8, num_augs=0))
+        model = PointNet2Regressor(num_features=1)
+        mesh = make_mesh(dp=8, mp=1)
+        trainer = Trainer(model, cfg, mesh=mesh)
+        s0 = trainer.init_state(jax.random.key(0), next(data.batches(8)))
+        s0b = jax.tree.map(jnp.copy, s0)  # steps donate their input state
+        key = jax.random.key(1)
+        _, mse_a, _ = trainer.train_epoch_fused(s0, data, key, batch_size=8)
+        sb, mse_b, n = trainer.train_epoch_scan(s0b, data, key, batch_size=8)
+        assert n == 8
+        np.testing.assert_allclose(mse_a, mse_b, rtol=1e-5)
+        ev = trainer.evaluate_scan(sb, data, batch_size=8)
+        assert np.isfinite(ev)
+
 
 class TestModelParallel:
     def test_point_axis_sharding_compiles_and_matches(self, data):

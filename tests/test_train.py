@@ -147,6 +147,36 @@ class TestEndToEnd:
         b = trainer.evaluate_fused(state, ds, batch_size=4)
         np.testing.assert_array_equal(np.float32(a), np.float32(b))
 
+    def test_scan_epoch_matches_fused(self):
+        """train_epoch_scan (whole epoch in ONE dispatch via lax.scan) must
+        reproduce the per-step fused path: same key discipline
+        (fold_in(akey, b0) / fold_in(key, i) inside the scan body), same math."""
+        ds, cfg, trainer = small_setup(plots=10, batch=4)  # incl. partial batch
+        key = jax.random.key(0)
+        s0 = trainer.init_state(key, next(ds.batches(4)))
+        s0b = jax.tree.map(jnp.copy, s0)  # steps donate their input state
+        ep_key = jax.random.key(7)
+
+        state_a, mean_a, n_a = trainer.train_epoch_fused(
+            s0, ds, ep_key, batch_size=4, num_augs=1
+        )
+        state_b, mean_b, n_b = trainer.train_epoch_scan(
+            s0b, ds, ep_key, batch_size=4, num_augs=1
+        )
+        assert n_a == n_b == 20
+        np.testing.assert_allclose(mean_a, mean_b, rtol=1e-6)
+        for x, y in zip(jax.tree.leaves(state_a.params),
+                        jax.tree.leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_evaluate_scan_matches_fused(self):
+        ds, cfg, trainer = small_setup(plots=10, batch=4)
+        state = trainer.init_state(jax.random.key(0), next(ds.batches(4)))
+        a = trainer.evaluate_fused(state, ds, batch_size=4)
+        b = trainer.evaluate_scan(state, ds, batch_size=4)
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
     def test_fit_accepts_datasets_directly(self, tmp_path):
         """fit(state, ds_train, ds_val) routes through the fused step and
         produces the same history as the lambda form."""
