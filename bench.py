@@ -111,9 +111,9 @@ def bench_config1() -> None:
     key = jax.random.key(1)
 
     def epoch(ep, state):
-        # the production epoch path: fused assemble+augment+train step (one
-        # device dispatch per step; Trainer.fit uses this when handed datasets)
-        state, _, clouds = trainer.train_epoch_fused(
+        # the production epoch path: scan-over-steps (whole epoch as one
+        # dispatch; Trainer.fit's default when handed datasets)
+        state, _, clouds = trainer.train_epoch_scan(
             state, ds, jax.random.fold_in(key, ep), batch_size=b, num_augs=2
         )
         return state, clouds
