@@ -63,12 +63,16 @@ def make_training_objective(
         best = float("inf")
         for epoch in range(max_num_epochs):
             ek = jax.random.fold_in(key, epoch)
-            state, train_mse, _ = trainer.train_epoch(
-                state,
-                train_ds.batches(hp.batch_size, key=ek, num_augs=hp.num_augs, shuffle=True),
-                ek,
+            # per-step fused path, NOT the scan epoch: the scanned epoch's
+            # computation shape includes the step count S = f(num_augs,
+            # batch_size), so a search over both would compile O(augs x
+            # batches) scan programs; the fused step compiles once per
+            # batch_size and serves every (augs, epoch-length) combination.
+            state, train_mse, _ = trainer.train_epoch_fused(
+                state, train_ds, ek,
+                batch_size=hp.batch_size, num_augs=hp.num_augs, shuffle=True,
             )
-            val_mse = trainer.evaluate(state, val_ds.batches(hp.batch_size))
+            val_mse = trainer.evaluate_fused(state, val_ds, batch_size=hp.batch_size)
             best = min(best, val_mse)
             trial.report(val_mse, epoch)
             if stopper.update(val_mse):

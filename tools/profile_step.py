@@ -61,15 +61,22 @@ def aggregate(logdir):
     events = trace.get("traceEvents", [])
     # device tracks: pid whose process name mentions TPU / device
     proc_names = {}
+    thread_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             proc_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, nm in proc_names.items()
                 if "TPU" in nm or "/device" in nm.lower() or "Device" in nm}
     tot = defaultdict(float)
     cnt = defaultdict(int)
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+            # the "Steps" thread holds whole-step envelope events, not ops —
+            # including them would double-count the entire step
+            if thread_names.get((e["pid"], e.get("tid"))) == "Steps":
+                continue
             nm = e.get("name", "?")
             tot[nm] += e["dur"]
             cnt[nm] += 1
