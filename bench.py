@@ -266,6 +266,9 @@ def _require_device(timeout_s: int = 180) -> None:
     import sys
     import threading
 
+    from dl_biomass_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ok = []
     t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
     t.start()
@@ -356,9 +359,7 @@ def _measure_point(b: int, with_engine: bool = True) -> dict:
 
 
 def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    _require_device()
+    _require_device()  # also enables the persistent compile cache
 
     head = _measure_point(B_HEAD, with_engine=True)
     alt = _measure_point(B, with_engine=False)

@@ -467,6 +467,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # every CLI process shares one persistent compile cache — without this a
+    # fresh `evaluate` re-pays the remote compile (minutes) for shapes another
+    # process built moments earlier
+    from dl_biomass_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
