@@ -92,12 +92,15 @@ def predict_directory(
             infer = compile_inference(
                 model, {"params": params, "batch_stats": batch_stats}
             )
-            outs = []
-            for batch in ds.batches(batch_size):
-                out = np.asarray(infer(batch))
-                valid = np.asarray(jnp.any(batch.mask, axis=1))
-                outs.append(out[valid])
-            pred = np.concatenate(outs, axis=0)
+            # queue all batches, sync once: per-batch np.asarray would cost a
+            # host round-trip of dead device time per batch on this backend
+            outs = [
+                (infer(batch), jnp.any(batch.mask, axis=1))
+                for batch in ds.batches(batch_size)
+            ]
+            pred = np.concatenate(
+                [np.asarray(o)[np.asarray(v)] for o, v in outs], axis=0
+            )
         except NotImplementedError:
             pred = None  # non-flagship architecture: model.apply below
     if pred is None:

@@ -388,13 +388,17 @@ class Trainer:
         return float(np.mean([float(l) for l in losses]))
 
     def predict(self, state: TrainState, batches: Iterable[CloudBatch]) -> np.ndarray:
+        # dispatch every batch before the first sync (async dispatch pipelines
+        # the device work; a per-batch np.asarray would serialize each batch
+        # behind a host round-trip)
         outs = []
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
             _, out = self._eval_step(state.params, state.batch_stats, batch)
-            w = np.asarray(jnp.any(batch.mask, axis=1))
-            outs.append(np.asarray(out)[w])
-        return np.concatenate(outs, axis=0)
+            outs.append((out, jnp.any(batch.mask, axis=1)))
+        return np.concatenate(
+            [np.asarray(o)[np.asarray(w)] for o, w in outs], axis=0
+        )
 
     def fit(
         self,
