@@ -463,6 +463,11 @@ def main(argv=None):
     # jax.config.update, which MASKS the env var — so a caller exporting
     # JAX_PLATFORMS=cpu (tests, offline preprocessing) would still hit the
     # axon tunnel, and a dark tunnel hangs forever instead of falling back
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        # before any jax import: --help must not pay backend-init latency
+        print(__doc__)
+        return 0
     if os.environ.get("JAX_PLATFORMS"):
         import jax
 
@@ -473,10 +478,6 @@ def main(argv=None):
     from dl_biomass_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    argv = argv if argv is not None else sys.argv[1:]
-    if not argv or argv[0] in ("-h", "--help"):
-        print(__doc__)
-        return 0
     cmd = argv[0]
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; options: {', '.join(COMMANDS)}")

@@ -143,19 +143,17 @@ class DeviceDataset:
                 "epoch_specs(num_augs>0) needs a PRNG key — without one every "
                 "epoch would see identical augmentations"
             )
-        order, aug = self.epoch_order(key, num_augs, shuffle)
-        n = len(order)
+        # one spec-building core: the stacked-array form is the source of
+        # truth for the chunk/pad layout, so the per-step and scan paths can
+        # never desynchronize
+        idxs, augs, valids, b0s = self.epoch_spec_arrays(
+            batch_size, key=key, num_augs=num_augs, shuffle=shuffle
+        )
         akey = key if key is not None else jax.random.key(0)
-        for b0 in range(0, n, batch_size):
-            chunk = order[b0 : b0 + batch_size]
-            achunk = aug[b0 : b0 + batch_size]
-            valid = np.ones(len(chunk), bool)
-            if len(chunk) < batch_size:
-                pad = batch_size - len(chunk)
-                chunk = np.concatenate([chunk, np.zeros(pad, np.int32)])
-                achunk = np.concatenate([achunk, np.zeros(pad, bool)])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
-            yield chunk, achunk, valid, jax.random.fold_in(akey, b0)
+        for si in range(len(b0s)):
+            yield idxs[si], augs[si], valids[si], jax.random.fold_in(
+                akey, int(b0s[si])
+            )
 
     def epoch_spec_arrays(
         self,

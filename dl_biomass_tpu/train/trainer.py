@@ -97,6 +97,20 @@ class Trainer:
         self._scan_train_epoch = None  # built on first train_epoch_scan use
         self._scan_eval_epoch = None  # built on first evaluate_scan use
 
+    def _constrain_batch(self, batch):
+        """Pin an in-jit assembled batch to the mesh's batch sharding (dp
+        axis); identity without a mesh. The single home for this constraint —
+        all four fused/scan x train/eval paths go through it so they can't
+        drift."""
+        if self.mesh is None:
+            return batch
+        from dl_biomass_tpu.parallel.mesh import batch_sharding
+
+        s = batch_sharding(self.mesh)
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, s), batch
+        )
+
     # ---- state ---------------------------------------------------------------
 
     def init_state(self, key: jax.Array, example_batch: CloudBatch) -> TrainState:
@@ -167,14 +181,7 @@ class Trainer:
                        akey, skey, *, base_n: int):
             batch = _assemble_batch(pos, feat, mask, y, idx, aug_flag, valid,
                                     akey, base_n=base_n)
-            if self.mesh is not None:
-                from dl_biomass_tpu.parallel.mesh import batch_sharding
-
-                s = batch_sharding(self.mesh)
-                batch = jax.tree.map(
-                    lambda x: jax.lax.with_sharding_constraint(x, s), batch
-                )
-            return self._step_core(state, batch, skey)
+            return self._step_core(state, self._constrain_batch(batch), skey)
 
         return fused_step
 
@@ -217,6 +224,8 @@ class Trainer:
         assemble+augment+train step — ONE device dispatch per step instead of
         two. Identical key discipline to ``ds.batches`` + ``train_epoch``, so
         losses match the unfused path bit-for-bit (pinned by test)."""
+        if key is None:
+            raise ValueError("train_epoch_fused needs a PRNG key")
         if self._fused_train_step is None:
             self._fused_train_step = self._build_fused_train_step()
         losses = []
@@ -243,16 +252,6 @@ class Trainer:
         bit-identical to the per-step paths (pinned by test)."""
         from dl_biomass_tpu.io.device_data import _assemble_batch
 
-        def constrain(batch):
-            if self.mesh is None:
-                return batch
-            from dl_biomass_tpu.parallel.mesh import batch_sharding
-
-            s = batch_sharding(self.mesh)
-            return jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, s), batch
-            )
-
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("base_n",))
         def scan_epoch(state, pos, feat, mask, y, idxs, aug_flags, valids,
                        b0s, steps, akey, key, *, base_n: int):
@@ -262,7 +261,9 @@ class Trainer:
                     pos, feat, mask, y, idx, aug_flag, valid,
                     jax.random.fold_in(akey, b0), base_n=base_n,
                 )
-                return self._step_core(st, constrain(batch), jax.random.fold_in(key, i))
+                return self._step_core(
+                    st, self._constrain_batch(batch), jax.random.fold_in(key, i)
+                )
 
             return jax.lax.scan(body, state, (idxs, aug_flags, valids, b0s, steps))
 
@@ -276,17 +277,20 @@ class Trainer:
         fused step (see _build_scan_train_epoch). Bit-identical losses/params
         to train_epoch_fused; one loss array comes back per epoch instead of
         one scalar per step."""
+        if key is None:
+            # (unlike epoch_specs) a training epoch always consumes the key —
+            # per-step dropout/FPS keys come from fold_in(key, i) in the body
+            raise ValueError("train_epoch_scan needs a PRNG key")
         if self._scan_train_epoch is None:
             self._scan_train_epoch = self._build_scan_train_epoch()
         idxs, augs, valids, b0s = ds.epoch_spec_arrays(
             batch_size, key=key, num_augs=num_augs, shuffle=shuffle
         )
-        akey = key if key is not None else jax.random.key(0)
         state, losses = self._scan_train_epoch(
             state, ds.pos, ds.feat, ds.mask, ds.y,
             jnp.asarray(idxs), jnp.asarray(augs), jnp.asarray(valids),
             jnp.asarray(b0s), jnp.arange(len(b0s), dtype=jnp.int32),
-            akey, key, base_n=ds.base_n,
+            key, key, base_n=ds.base_n,
         )
         return state, float(np.mean(np.asarray(losses))), int(valids.sum())
 
@@ -295,16 +299,6 @@ class Trainer:
         from dl_biomass_tpu.io.device_data import _assemble_batch
 
         model = self.model
-
-        def constrain(batch):
-            if self.mesh is None:
-                return batch
-            from dl_biomass_tpu.parallel.mesh import batch_sharding
-
-            s = batch_sharding(self.mesh)
-            return jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, s), batch
-            )
 
         @partial(jax.jit, static_argnames=("base_n",))
         def scan_eval(params, batch_stats, pos, feat, mask, y, idxs, valids,
@@ -316,7 +310,7 @@ class Trainer:
                                         jax.random.key(0), base_n=base_n)
                 out = model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    constrain(batch), train=False,
+                    self._constrain_batch(batch), train=False,
                 )
                 w = jnp.any(batch.mask, axis=1)
                 return 0, weighted_component_mse(out, batch.y, w)
@@ -350,15 +344,9 @@ class Trainer:
             zeros = jnp.zeros(idx.shape[0], bool)  # no augmentation in eval
             batch = _assemble_batch(pos, feat, mask, y, idx, zeros, valid,
                                     jax.random.key(0), base_n=base_n)
-            if self.mesh is not None:
-                from dl_biomass_tpu.parallel.mesh import batch_sharding
-
-                s = batch_sharding(self.mesh)
-                batch = jax.tree.map(
-                    lambda x: jax.lax.with_sharding_constraint(x, s), batch
-                )
             out = model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch, train=False
+                {"params": params, "batch_stats": batch_stats},
+                self._constrain_batch(batch), train=False,
             )
             w = jnp.any(batch.mask, axis=1)
             return weighted_component_mse(out, batch.y, w), out

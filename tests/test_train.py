@@ -150,20 +150,23 @@ class TestEndToEnd:
     def test_scan_epoch_matches_fused(self):
         """train_epoch_scan (whole epoch in ONE dispatch via lax.scan) must
         reproduce the per-step fused path: same key discipline
-        (fold_in(akey, b0) / fold_in(key, i) inside the scan body), same math."""
-        ds, cfg, trainer = small_setup(plots=10, batch=4)  # incl. partial batch
+        (fold_in(akey, b0) / fold_in(key, i) inside the scan body), same math.
+        num_augs=2 makes the epoch 30 samples — NOT divisible by batch 4, so
+        the final TRAIN step is a padded partial batch (valid mask exercised
+        inside the scanned gradient step, not just in eval)."""
+        ds, cfg, trainer = small_setup(plots=10, batch=4)
         key = jax.random.key(0)
         s0 = trainer.init_state(key, next(ds.batches(4)))
         s0b = jax.tree.map(jnp.copy, s0)  # steps donate their input state
         ep_key = jax.random.key(7)
 
         state_a, mean_a, n_a = trainer.train_epoch_fused(
-            s0, ds, ep_key, batch_size=4, num_augs=1
+            s0, ds, ep_key, batch_size=4, num_augs=2
         )
         state_b, mean_b, n_b = trainer.train_epoch_scan(
-            s0b, ds, ep_key, batch_size=4, num_augs=1
+            s0b, ds, ep_key, batch_size=4, num_augs=2
         )
-        assert n_a == n_b == 20
+        assert n_a == n_b == 30  # 10 plots x (1 + 2 augs), 8 steps, last has 2
         np.testing.assert_allclose(mean_a, mean_b, rtol=1e-6)
         for x, y in zip(jax.tree.leaves(state_a.params),
                         jax.tree.leaves(state_b.params)):
