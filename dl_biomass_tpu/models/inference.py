@@ -74,7 +74,8 @@ def _run_folded(x, layers, act=True, compute_dtype=jnp.float32):
     return x
 
 
-def compile_inference(model, variables, fused_eval: bool = False) -> Callable:
+def compile_inference(model, variables, fused_eval: bool = False,
+                      mesh=None) -> Callable:
     """Returns a jitted ``fn(batch) -> (B, num_outputs)`` serving function.
 
     ``fused_eval=True`` runs SA1 as ONE fused Pallas kernel (selection +
@@ -82,7 +83,15 @@ def compile_inference(model, variables, fused_eval: bool = False) -> Callable:
     measurement: it ties the folded-XLA chain at B=16 (18.4 vs 18.7 ms) and
     loses at B=36 (39.5 vs 37.8) — the kernel's VPU selection cost scales
     linearly with batch while the XLA chain amortizes (docs/BENCHMARKS.md
-    "round 3: the Pallas re-probe")."""
+    "round 3: the Pallas re-probe").
+
+    ``mesh``: serve data-parallel over a ``jax.sharding.Mesh`` — folded
+    weights replicated once at build, each batch's cloud axis sharded over
+    the ``dp`` axis (the serving analog of the reference's DataParallel
+    scatter/gather, ``testing_model.py:56-67``). The batch size must be a
+    multiple of the dp size. Like the trainer's mesh path this rides XLA's
+    SPMD partitioner, so it is exercised on the virtual CPU mesh (jnp
+    selection path); single-chip TPU serving passes ``mesh=None``."""
     from dl_biomass_tpu.models.pointnet2 import PointNet2Regressor
 
     if not isinstance(model, PointNet2Regressor):
@@ -198,10 +207,80 @@ def compile_inference(model, variables, fused_eval: bool = False) -> Callable:
     folded = (tuple(sa1_layers), tuple(sa2_layers), tuple(sa3_layers),
               tuple(head_layers))
 
-    # weights-as-arguments also means the persistent compilation cache keys on
-    # the GRAPH alone: any same-shape engine (new checkpoint, new process)
-    # reuses the cached executable instead of recompiling per weight set
-    def serve(batch):
-        return infer(folded, batch)
+    if mesh is not None:
+        from dl_biomass_tpu.parallel.mesh import replicated_sharding, shard_batch
 
+        folded = jax.device_put(folded, replicated_sharding(mesh))
+
+        def serve(batch):
+            return infer(folded, shard_batch(batch, mesh))
+
+    else:
+        # weights-as-arguments also means the persistent compilation cache keys
+        # on the GRAPH alone: any same-shape engine (new checkpoint, new
+        # process) reuses the cached executable instead of recompiling per
+        # weight set
+        def serve(batch):
+            return infer(folded, batch)
+
+    # internals for compile_dataset_inference (the scanned whole-dataset path)
+    serve._infer = infer
+    serve._folded = folded
+    serve._mesh = mesh
     return serve
+
+
+def compile_dataset_inference(model, variables, fused_eval: bool = False,
+                              mesh=None) -> Callable:
+    """One-dispatch serving over a whole DeviceDataset.
+
+    Returns ``fn(ds, batch_size) -> (P, num_outputs) numpy`` that runs every
+    batch of the dataset through the folded serving forward inside ONE
+    compiled ``lax.scan`` — the serving analog of the trainer's scan-epoch
+    path. Per-batch dispatch latency dominates directory-scale serving on a
+    remote-dispatch backend; scanning collapses the epoch's S round trips to
+    one (measured at 288 plots x 7168 pts, batch 36: 268 clouds/s per-batch
+    sync, 381 pipelined dispatch, 978 scanned). Row order matches
+    ``ds.plot_ids``.
+    """
+    serve = compile_inference(model, variables, fused_eval=fused_eval, mesh=mesh)
+    infer, folded = serve._infer, serve._folded
+
+    from functools import partial
+
+    from dl_biomass_tpu.io.device_data import _assemble_batch
+
+    def constrain(batch):
+        if mesh is None:
+            return batch
+        from dl_biomass_tpu.parallel.mesh import batch_sharding
+
+        s = batch_sharding(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, s), batch
+        )
+
+    @partial(jax.jit, static_argnames=("base_n",))
+    def run_all(folded, pos, feat, mask, y, idxs, valids, *, base_n: int):
+        def body(_, per):
+            idx, valid = per
+            zeros = jnp.zeros(idx.shape[0], bool)  # no augmentation in serving
+            batch = _assemble_batch(pos, feat, mask, y, idx, zeros, valid,
+                                    jax.random.key(0), base_n=base_n)
+            return 0, infer(folded, constrain(batch))
+
+        _, outs = jax.lax.scan(body, 0, (idxs, valids))
+        return outs  # (S, B, num_outputs)
+
+    def serve_dataset(ds, batch_size: int):
+        import numpy as np
+
+        idxs, _, valids, _ = ds.epoch_spec_arrays(batch_size)
+        outs = run_all(
+            folded, ds.pos, ds.feat, ds.mask, ds.y,
+            jnp.asarray(idxs), jnp.asarray(valids), base_n=ds.base_n,
+        )
+        flat = np.asarray(outs).reshape(-1, outs.shape[-1])
+        return flat[np.asarray(valids).reshape(-1)]
+
+    return serve_dataset

@@ -71,3 +71,52 @@ class TestInferenceEngine:
         layers = _folded_mlp(variables["params"]["head"], variables["batch_stats"]["head"])
         assert len(layers) == 3  # 1024->128->128->4
         assert layers[-1][0].shape == (128, 4)
+
+    def test_dataset_inference_matches_per_batch(self, rng):
+        """compile_dataset_inference (whole dataset in ONE scanned dispatch)
+        must reproduce the per-batch engine, including the padded partial
+        final batch (10 plots, batch 4) and per-plot mask variation."""
+        from dl_biomass_tpu.io.device_data import DeviceDataset
+        from dl_biomass_tpu.models.inference import compile_dataset_inference
+
+        p, n = 10, 256
+        pos_list = [np.asarray(rng.normal(size=(n - 7 * i, 3)) * 3, np.float32)
+                    for i in range(p)]
+        feat_list = [np.asarray(rng.normal(size=(len(q), 1)), np.float32)
+                     for q in pos_list]
+        y = np.zeros((p, 4), np.float32)
+        ds = DeviceDataset.from_clouds(pos_list, feat_list, y,
+                                       [f"BC_{i}" for i in range(p)],
+                                       base_n=n, for_augmentation=False)
+        model = PointNet2Regressor(num_features=1, use_pallas=False)
+        variables = model.init(
+            {"params": jax.random.key(0)}, next(iter(ds.batches(4))), train=False
+        )
+        infer = compile_inference(model, variables)
+        want = np.concatenate([
+            np.asarray(infer(b))[np.asarray(jnp.any(b.mask, axis=1))]
+            for b in ds.batches(4)
+        ])
+        got = compile_dataset_inference(model, variables)(ds, 4)
+        assert got.shape == (p, 4)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_mesh_serving_matches_single_device(self, rng):
+        """compile_inference(mesh=...) — data-parallel serving over the
+        8-device virtual mesh must reproduce the unsharded engine (weights
+        replicated, cloud axis dp-sharded; XLA SPMD inserts the collectives)."""
+        from dl_biomass_tpu.parallel.mesh import make_mesh
+
+        b, n = 8, 256
+        batch = CloudBatch(
+            pos=jnp.asarray(rng.normal(size=(b, n, 3)) * 3, jnp.float32),
+            feat=jnp.asarray(rng.normal(size=(b, n, 1)), jnp.float32),
+            mask=jnp.asarray(np.arange(n)[None] < rng.integers(200, n + 1, size=(b, 1))),
+            y=None,
+        )
+        model = PointNet2Regressor(num_features=1, use_pallas=False)
+        variables = model.init({"params": jax.random.key(0)}, batch, train=False)
+        want = np.asarray(compile_inference(model, variables)(batch))
+        mesh = make_mesh(dp=-1, mp=1)
+        got = np.asarray(compile_inference(model, variables, mesh=mesh)(batch))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
