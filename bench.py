@@ -358,11 +358,55 @@ def _measure_point(b: int, with_engine: bool = True) -> dict:
     }
 
 
+def _measure_bulk_serving(b: int, s: int = 8):
+    """Directory-scale serving: s*b clouds through compile_dataset_inference
+    (the whole dataset in ONE scanned dispatch — what the predict CLI runs).
+    Returns clouds/s, or None if the path is unavailable (guarded like the
+    engine: a remote-compile failure must not sink the benchmark)."""
+    try:
+        from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+        from dl_biomass_tpu.io.device_data import DeviceDataset
+        from dl_biomass_tpu.models.inference import compile_dataset_inference
+        from dl_biomass_tpu.models.pointnet2 import build_model
+        from dl_biomass_tpu.train.trainer import Trainer
+
+        rng = np.random.default_rng(0)
+        p = s * b
+        ds = DeviceDataset(
+            rng.normal(size=(p, N, 3)).astype(np.float32) * 5.0,
+            rng.normal(size=(p, N, 1)).astype(np.float32),
+            np.ones((p, N), bool),
+            np.zeros((p, 4), np.float32),
+            [f"BC_{i:04d}" for i in range(p)],
+            N,
+        )
+        cfg = TrainConfig(hp=HyperParams(batch_size=b))
+        model = build_model(cfg, num_features=1)
+        trainer = Trainer(model, cfg)
+        state = trainer.init_state(jax.random.key(0), _make_batch(rng, b, N))
+        serve = compile_dataset_inference(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        serve(ds, b)  # compile warmup
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            serve(ds, b)  # returns host numpy — intrinsically synced
+            best = min(best, time.perf_counter() - t0)
+        return p / best
+    except Exception as e:  # pragma: no cover - env-dependent
+        import sys
+
+        print(f"bulk-serving path unavailable ({e})", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     _require_device()  # also enables the persistent compile cache
 
     head = _measure_point(B_HEAD, with_engine=True)
     alt = _measure_point(B, with_engine=False)
+    serve_cps = _measure_bulk_serving(B_HEAD)
 
     train_cps = B_HEAD / head["train_dt"]
     infer_cps = B_HEAD / head["infer_dt"]
@@ -382,6 +426,11 @@ def main() -> None:
                     if head["engine_dt"] != float("inf") else None
                 ),
                 "infer_eval_step_ms": round(head["eval_dt"] * 1000, 2),
+                # directory-scale serving (288 clouds, one scanned dispatch,
+                # the predict CLI's path) — includes ALL dispatch overhead
+                "bulk_serve_clouds_per_sec": (
+                    round(serve_cps, 2) if serve_cps else None
+                ),
                 "batch": B_HEAD,
                 "batch_note": (
                     "headline at the reference's own operating point "

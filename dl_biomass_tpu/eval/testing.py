@@ -57,24 +57,39 @@ def load_model_for_eval(model_dir: str, model_file: Optional[str] = None,
 
 
 def predict_dataset(model, params, batch_stats, ds, batch_size: int = 32) -> np.ndarray:
-    """Deterministic predictions (P, 4) over a DeviceDataset, in plot order."""
+    """Deterministic predictions (P, 4) over a DeviceDataset, in plot order.
+
+    ``model.apply`` semantics (this is the metrics/parity path — the folded
+    serving engine lives in models/inference.py), but the whole dataset runs
+    in ONE scanned dispatch: per-batch dispatch round trips dominate bulk
+    prediction on a remote-dispatch backend."""
     import jax
+    import jax.numpy as jnp
+    from functools import partial
 
-    @jax.jit
-    def eval_step(batch):
-        return model.apply({"params": params, "batch_stats": batch_stats}, batch, train=False)
+    from dl_biomass_tpu.io.device_data import _assemble_batch
 
-    # queue every batch before the first device->host sync: JAX dispatch is
-    # async, so batch i+1's assemble+forward is enqueued while batch i runs —
-    # on this tunneled backend a per-batch np.asarray would add a full
-    # round-trip of dead time per batch
-    outs = [
-        (eval_step(batch), jax.numpy.any(batch.mask, axis=1))
-        for batch in ds.batches(batch_size)
-    ]
-    return np.concatenate(
-        [np.asarray(o)[np.asarray(v)] for o, v in outs], axis=0
-    )
+    @partial(jax.jit, static_argnames=("base_n",))
+    def run_all(params, batch_stats, pos, feat, mask, y, idxs, valids,
+                *, base_n: int):
+        def body(_, per):
+            idx, valid = per
+            zeros = jnp.zeros(idx.shape[0], bool)
+            batch = _assemble_batch(pos, feat, mask, y, idx, zeros, valid,
+                                    jax.random.key(0), base_n=base_n)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, train=False
+            )
+            return 0, out
+
+        _, outs = jax.lax.scan(body, 0, (idxs, valids))
+        return outs
+
+    idxs, _, valids, _ = ds.epoch_spec_arrays(batch_size)
+    outs = run_all(params, batch_stats, ds.pos, ds.feat, ds.mask, ds.y,
+                   jnp.asarray(idxs), jnp.asarray(valids), base_n=ds.base_n)
+    flat = np.asarray(outs).reshape(-1, outs.shape[-1])
+    return flat[np.asarray(valids).reshape(-1)]
 
 
 def test_model(

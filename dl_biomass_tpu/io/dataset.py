@@ -143,6 +143,12 @@ class PointCloudsInFiles:
             feat_list.append(f)
             ys.append(y)
             ids.append(pid)
+        if not pos_list:
+            raise FileNotFoundError(
+                f"no usable plots: {len(self)} files matched the glob/prefix "
+                f"filter, 0 survived the <{MIN_POINTS}-point guard (check "
+                f"--data dirs and dataset prefixes)"
+            )
         return DeviceDataset.from_clouds(
             pos_list, feat_list, np.stack(ys), ids,
             base_n=self.max_points, for_augmentation=for_augmentation,
@@ -229,6 +235,12 @@ class PointCloudsInFilesPreSampled:
             feat_list.append(f)
             ys.append(y)
             ids.append(pid)
+        if not pos_list:
+            raise FileNotFoundError(
+                f"no usable plots: {len(self)} files matched the glob/prefix "
+                f"filter, 0 survived the <{MIN_POINTS}-point guard (check "
+                f"--data dirs, dataset prefixes, and the presampled suffix)"
+            )
         return DeviceDataset.from_clouds(
             pos_list, feat_list, np.stack(ys), ids, for_augmentation=for_augmentation
         )

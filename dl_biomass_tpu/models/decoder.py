@@ -100,3 +100,28 @@ class PointNet2Segmentor(nn.Module):
         out = MLP([128, 128, self.num_outputs], act=act,
                   dropout=self.dropout_probability, name="head")(d0, mask, train=train)
         return jnp.where(mask[..., None], out, 0.0)
+
+
+def dump_predicted_las(path, pos, mask, ref, pred) -> None:
+    """Write one cloud's per-point observed-vs-predicted values as LAS Extra
+    Bytes dims ``ref`` and ``pred`` — the historical segmentor loop's
+    per-epoch artifact (``Misc/Lukas_OG_Scripts/main.py:92-100`` dumped
+    ``ep{N}_{idx}.laz`` with exactly these two attributes for the first cloud
+    of the eval batch). LAS (uncompressed) output: the built-in codec writes
+    no LAZ.
+
+    Args: pos (N, 3), mask (N,) bool, ref/pred (N,) per-point scalars.
+    """
+    import numpy as np
+
+    from dl_biomass_tpu.io.reader import write_las
+
+    m = np.asarray(mask, bool)
+    write_las(
+        np.asarray(pos, np.float64)[m],
+        path,
+        {
+            "ref": np.asarray(ref, np.float64).reshape(-1)[m],
+            "pred": np.asarray(pred, np.float64).reshape(-1)[m],
+        },
+    )

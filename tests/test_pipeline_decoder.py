@@ -85,3 +85,26 @@ class TestFPDecoder:
         assert out.shape == (b, n, 1)
         assert np.isfinite(out).all()
         np.testing.assert_array_equal(out[0, 100:], 0)  # masked points -> 0
+
+
+class TestPredictedLasDump:
+    def test_roundtrip(self, rng, tmp_path):
+        """dump_predicted_las writes masked points + ref/pred Extra Bytes dims
+        (the historical per-epoch artifact, Misc/Lukas_OG_Scripts/main.py:92-100)
+        readable back through the codec."""
+        from dl_biomass_tpu.io.reader import read_las
+        from dl_biomass_tpu.models.decoder import dump_predicted_las
+
+        n = 200
+        pos = rng.normal(size=(n, 3)) * 10 + 50
+        mask = np.arange(n) < 150
+        ref = rng.uniform(0, 5, size=n)
+        pred = ref + rng.normal(size=n) * 0.1
+        path = str(tmp_path / "ep3_0.las")
+        dump_predicted_las(path, pos, mask, ref, pred)
+
+        coords, attrs = read_las(path, get_attributes=True)
+        assert coords.shape == (150, 3)
+        np.testing.assert_allclose(coords, pos[mask], atol=2e-3)  # 0.00025 scale
+        np.testing.assert_allclose(attrs["ref"], ref[mask], rtol=1e-12)
+        np.testing.assert_allclose(attrs["pred"], pred[mask], rtol=1e-12)
