@@ -34,7 +34,13 @@ from typing import Callable, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from dl_biomass_tpu.ops import ball_query, farthest_point_sample, gather_points, masked_max
+from dl_biomass_tpu.ops import (
+    ball_query,
+    farthest_point_sample,
+    gather_points,
+    group_neighborhoods,
+    masked_max,
+)
 
 
 def fold_bn(kernel, bias, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
@@ -106,8 +112,25 @@ def compile_inference(model, variables, fused_eval: bool = False,
             "inference engine covers the flagship SSG/ReLU/K=64 config; "
             "use model.apply for other variants"
         )
+    if fused_eval and not (
+        model.use_pallas and model.fast_group
+        and (model.num_features or 3) <= 4 and not model.exact_selection
+    ):
+        # without this, fused_eval=True would silently take the non-fused
+        # branch below and a fused-vs-folded comparison would measure the
+        # same path twice
+        raise NotImplementedError(
+            "fused_eval requires the stratified SA1 production path "
+            "(use_pallas + fast_group, <= 4 features, not exact_selection)"
+        )
     params = variables["params"]
-    stats = variables.get("batch_stats", {})
+    stats = variables.get("batch_stats")
+    if not stats:
+        raise ValueError(
+            "compile_inference folds eval-mode BatchNorm into the matmuls and "
+            "needs variables['batch_stats'] (train at least one step, or load "
+            "a checkpoint that carries batch statistics)"
+        )
     ct = model.compute_dtype
     sa1_layers = _folded_mlp(params["sa1"]["mlp"], stats["sa1"]["mlp"])
     sa2_layers = _folded_mlp(params["sa2"]["mlp"], stats["sa2"]["mlp"])
@@ -181,9 +204,9 @@ def compile_inference(model, variables, fused_eval: bool = False,
                 h1 = masked_max(_run_folded(e1, sa1_layers, compute_dtype=ct), nm1, axis=2)
         else:
             nidx1, nm1 = _bq(c1, cm1, pos, mask, r1)
-            g1 = gather_points(feat, nidx1)
-            rel1 = gather_points(pos, nidx1) - c1[:, :, None, :]
-            e1 = jnp.where(nm1[..., None], jnp.concatenate([g1, rel1], axis=-1), 0.0)
+            # [feat_j, pos_j - pos_i] channel order is the folded-W1 contract —
+            # one shared implementation with the model path (ops/grouping.py)
+            e1 = group_neighborhoods(pos, feat, c1, nidx1, nm1)
             h1 = masked_max(_run_folded(e1, sa1_layers, compute_dtype=ct), nm1, axis=2)
 
         idx2 = _fps(c1, cm1, m2)
@@ -223,10 +246,10 @@ def compile_inference(model, variables, fused_eval: bool = False,
         def serve(batch):
             return infer(folded, batch)
 
-    # internals for compile_dataset_inference (the scanned whole-dataset path)
+    # internals for compile_dataset_inference (the scanned whole-dataset path
+    # consumes exactly these two; it takes its mesh as its own parameter)
     serve._infer = infer
     serve._folded = folded
-    serve._mesh = mesh
     return serve
 
 

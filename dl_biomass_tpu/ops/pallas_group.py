@@ -49,6 +49,30 @@ _K = 64  # output slots (= reference max_num_neighbors)
 _CM = 32  # centroids per inner tile
 
 
+def stratified_pair_select(keys: jax.Array, big) -> Tuple[jax.Array, jax.Array]:
+    """THE stratified selection rule, shared by every kernel that claims it.
+
+    ``keys`` (CM, L, G): point index where in-radius/valid, else ``big``.
+    Returns ``pair`` (CM, K) — the smallest key per residue pair j/j+64
+    (``big`` where the pair holds no in-radius point) — and ``hit``
+    (CM, L, G) f32, the value-capture one-hot ``keys == selected``.
+
+    Aliasing contract: for slots with ``pair == big`` the hit matrix matches
+    EVERY exhausted ``key == big`` entry, so captured sums over ``hit`` hold
+    unmasked garbage there — consumers must mask by ``pair < big`` (or an
+    equivalent) before any reduction that feeds real outputs.
+
+    Lives here (not in the kernels) so ball_group_pallas and the fused eval
+    SA1 kernel (ops/pallas_sa_eval.py) cannot drift apart semantically.
+    """
+    bmin = jnp.min(keys, axis=1)  # (CM, G): first in-radius per residue
+    # pair residue j with j+64 (contiguous halves -> plain lane slices)
+    pair = jnp.minimum(bmin[:, :_K], bmin[:, _K:])  # (CM, K)
+    sel128 = jnp.concatenate([pair, pair], axis=1)  # (CM, G)
+    hit = (keys == sel128[:, None, :]).astype(jnp.float32)  # (CM, L, G)
+    return pair, hit
+
+
 def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int,
             need_idx: bool):
     px_ref, py_ref, pz_ref, valid_ref = refs[:4]
@@ -80,9 +104,11 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int,
         ok = (d2 <= radius2) & cok
         keys = jnp.where(ok, base_keys[None], big)  # (CM, L, G)
 
-        bmin = jnp.min(keys, axis=1)  # (CM, G): first in-radius per residue
-        # pair residue j with j+64 (contiguous halves -> plain lane slices)
-        pair = jnp.minimum(bmin[:, :_K], bmin[:, _K:])  # (CM, K)
+        # selection + value-capture one-hot: the shared rule (see
+        # stratified_pair_select for the aliasing contract). All planes are
+        # captured in ONE stacked reduction — reduction issue latency, not
+        # FLOPs, bounds this loop.
+        pair, hit = stratified_pair_select(keys, big)
         if need_idx:
             out_idx_ref[0, sl, :] = pair
         else:
@@ -90,13 +116,6 @@ def _kernel(*refs, radius2: float, n: int, n_feat: int, m: int, l_dim: int,
             # 0/1 validity in the plane dtype instead of int32 indices cuts
             # the kernel's DMA-capped output bytes (its bottleneck) by ~25%
             out_idx_ref[0, sl, :] = (pair < big).astype(out_idx_ref.dtype)
-
-        # capture planes at the selected indices (value-match one-hot: keys are
-        # unique indices, so equality hits exactly the selected point). All
-        # planes are captured in ONE stacked reduction — reduction issue
-        # latency, not FLOPs, bounds this loop.
-        sel128 = jnp.concatenate([pair, pair], axis=1)  # (CM, G)
-        hit = (keys == sel128[:, None, :]).astype(jnp.float32)  # (CM, L, G)
         planes = jnp.stack([pr[0] for pr in plane_refs])  # (P, L, G)
         cap = jnp.sum(hit[None] * planes[:, None], axis=2)  # (P, CM, G)
         cap = cap[:, :, :_K] + cap[:, :, _K:]  # (P, CM, K)

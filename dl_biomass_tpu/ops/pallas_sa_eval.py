@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dl_biomass_tpu.core.cloud import round_up
+from dl_biomass_tpu.ops.pallas_group import stratified_pair_select
 
 _G = 128  # lane width / stratification residues
 _K = 64  # neighbor slots (= reference max_num_neighbors)
@@ -109,18 +110,15 @@ def _sa1_kernel(px_ref, py_ref, pz_ref, valid_ref, *refs,
         ok = (d2 <= radius2) & cok
         keys = jnp.where(ok, base_keys[None], big)
 
-        # stratified pair-min selection — EXACTLY ball_group_pallas's rule:
-        # first in-radius point per residue class, residues j/j+64 paired
-        bmin = jnp.min(keys, axis=1)  # (CM, G)
-        pair = jnp.minimum(bmin[:, :_K], bmin[:, _K:])  # (CM, K)
+        # stratified pair-min selection — ball_group_pallas's rule by
+        # construction: ONE shared implementation (pallas_group.py)
+        pair, hit = stratified_pair_select(keys, big)
         nbr_ok = pair < big
         if stage == "sel":  # timing bisect: selection only
             out_ref[0, sl, :] = jnp.concatenate(
                 [pair.astype(jnp.float32)] * (out_ref.shape[2] // _K), axis=1
             ).astype(out_ref.dtype)
             return 0
-        sel128 = jnp.concatenate([pair, pair], axis=1)  # (CM, G)
-        hit = (keys == sel128[:, None, :]).astype(jnp.float32)  # (CM, L, G)
 
         def cap(plane):  # (L, G) -> (CM, K): value at each selected slot
             c = jnp.sum(hit * plane[None], axis=1)  # (CM, G)
@@ -154,8 +152,12 @@ def _sa1_kernel(px_ref, py_ref, pz_ref, valid_ref, *refs,
                     preferred_element_type=jnp.float32)
             + b1_ref[0][None, :]
         )
-        # invalid slots: captured values are garbage-free (hit row is all-zero
-        # -> channel 0), but bias still leaks in; the max is masked anyway
+        # invalid slots (pair == big): hit matches EVERY exhausted key==big
+        # entry, so the captured channels hold unmasked sums over all
+        # out-of-radius points (stratified_pair_select's aliasing contract) —
+        # plus the layer bias. Every real consumer below masks via nbr_ok
+        # before its reduction; the 'cap' bisect stage emits the raw sums,
+        # for timing only.
         a1f = jnp.maximum(h1, 0.0)
         if stage == "l1":  # timing bisect: through layer 1 + pooled store
             _masked_max_store(

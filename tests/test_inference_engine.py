@@ -66,6 +66,19 @@ class TestInferenceEngine:
                 PointNet2Regressor(num_features=1, activation_function="ELU"), variables
             )
 
+    def test_fused_eval_requires_production_path(self, setup):
+        """fused_eval=True must refuse configs that would silently fall back
+        to the non-fused branch (bogus fused-vs-folded comparisons)."""
+        _, variables, _ = setup
+        bad = PointNet2Regressor(num_features=1, use_pallas=False)
+        with pytest.raises(NotImplementedError, match="fused_eval"):
+            compile_inference(bad, variables, fused_eval=True)
+
+    def test_missing_batch_stats_clear_error(self, setup):
+        model, variables, _ = setup
+        with pytest.raises(ValueError, match="batch_stats"):
+            compile_inference(model, {"params": variables["params"]})
+
     def test_folded_layer_count(self, setup):
         _, variables, _ = setup
         layers = _folded_mlp(variables["params"]["head"], variables["batch_stats"]["head"])
