@@ -371,6 +371,10 @@ def cmd_predict(argv):
                    help="reference-exact numerics (disables the serving engine)")
     p.add_argument("--no-engine", action="store_true",
                    help="use jitted model.apply instead of the folded engine")
+    p.add_argument("--plot-bucket", type=int, default=64,
+                   help="round the served plot count up to a multiple of this "
+                        "so same-bucket directory sizes share one compiled "
+                        "serving computation (0 disables)")
     args = p.parse_args(argv)
 
     from dl_biomass_tpu.eval.predict import predict_directory
@@ -383,6 +387,7 @@ def cmd_predict(argv):
         num_points=args.num_points, glob=args.glob,
         batch_size=args.batch_size, presampled_suffix=args.presampled_suffix,
         parity=args.parity, engine=not args.no_engine,
+        plot_bucket=args.plot_bucket,
     )
     print(f"wrote {len(df)} predictions -> {args.out}")
 

@@ -107,6 +107,26 @@ class DeviceDataset:
             m_arr[i, :n] = True
         return cls(p_arr, f_arr, m_arr, np.asarray(y, np.float32), plot_ids, base_n)
 
+    def pad_plots(self, p_to: int) -> "DeviceDataset":
+        """Zero-pad the plot axis to ``p_to`` (all-False masks, ``__pad__``
+        ids). Serving compiles one computation per (plot-count, steps) shape
+        — on a remote-compile stack every new directory size costs minutes —
+        so bulk serving buckets plot counts and slices the real rows back out
+        (padded plots produce garbage rows the caller drops by position)."""
+        p = len(self)
+        if p_to < p:
+            raise ValueError(f"pad_plots: {p_to} < current {p}")
+        if p_to == p:
+            return self
+        pad = p_to - p
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+        )
+        return DeviceDataset(
+            z(self.pos), z(self.feat), z(self.mask), z(self.y),
+            self.plot_ids + ["__pad__"] * pad, self.base_n,
+        )
+
     # ---- batch serving --------------------------------------------------------
 
     def epoch_order(

@@ -147,3 +147,31 @@ def test_predict_empty_dir_errors(checkpoint_and_plots, tmp_path):
     os.makedirs(empty, exist_ok=True)
     with pytest.raises(FileNotFoundError):
         predict_directory(ckpt_dir, empty, None)
+
+
+def test_plot_bucket_same_predictions(checkpoint_and_plots):
+    """plot_bucket pads the served plot count (and drops the padded rows) —
+    predictions must be identical to the unbucketed run, and two directory
+    sizes in one bucket must serve identical array shapes (one compile)."""
+    ckpt_dir, plot_dir, tmp_path = checkpoint_and_plots
+    df0 = predict_directory(ckpt_dir, plot_dir, None, batch_size=2, plot_bucket=0)
+    df8 = predict_directory(ckpt_dir, plot_dir, None, batch_size=2, plot_bucket=8)
+    assert list(df0.index) == list(df8.index)
+    np.testing.assert_array_equal(df0.values, df8.values)
+
+
+def test_pad_plots_shapes_and_guard(rng):
+    from dl_biomass_tpu.io.device_data import DeviceDataset
+
+    ds = DeviceDataset(
+        rng.normal(size=(5, 64, 3)).astype(np.float32),
+        rng.normal(size=(5, 64, 1)).astype(np.float32),
+        np.ones((5, 64), bool), np.zeros((5, 4), np.float32),
+        [f"BC_{i}" for i in range(5)], 64,
+    )
+    padded = ds.pad_plots(8)
+    assert len(padded) == 8 and padded.plot_ids[5:] == ["__pad__"] * 3
+    assert not bool(np.asarray(padded.mask[5:]).any())
+    assert ds.pad_plots(5) is ds
+    with pytest.raises(ValueError):
+        ds.pad_plots(4)
