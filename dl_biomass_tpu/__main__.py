@@ -375,7 +375,30 @@ def cmd_predict(argv):
                    help="round the served plot count up to a multiple of this "
                         "so same-bucket directory sizes share one compiled "
                         "serving computation (0 disables)")
+    p.add_argument("--watch", action="store_true",
+                   help="keep running: poll --in-dir and append predictions "
+                        "for newly arriving plots (restart-safe; the engine "
+                        "stays warm in-process)")
+    p.add_argument("--poll-seconds", type=float, default=10.0)
+    p.add_argument("--max-polls", type=int, default=None,
+                   help="stop after N polls (default: run until killed)")
     args = p.parse_args(argv)
+
+    if args.watch:
+        from dl_biomass_tpu.eval.predict import watch_directory
+
+        n = watch_directory(
+            args.model_dir, args.in_dir, args.out,
+            poll_seconds=args.poll_seconds, max_polls=args.max_polls,
+            model_file=args.model_file,
+            use_presampled=args.presampled.lower() in ("1", "true", "yes"),
+            num_points=args.num_points, glob=args.glob,
+            batch_size=args.batch_size,
+            presampled_suffix=args.presampled_suffix,
+            plot_bucket=args.plot_bucket,
+        )
+        print(f"watch ended: {n} plots predicted -> {args.out}")
+        return
 
     from dl_biomass_tpu.eval.predict import predict_directory
 

@@ -120,3 +120,110 @@ def predict_directory(
         os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
         df.to_csv(out_csv)
     return df
+
+
+def watch_directory(
+    model_dir: str,
+    in_dir: str,
+    out_csv: str,
+    *,
+    poll_seconds: float = 10.0,
+    max_polls: Optional[int] = None,
+    model_file: Optional[str] = None,
+    use_presampled: bool = True,
+    num_points: int = 7168,
+    use_columns: Optional[List[str]] = None,
+    glob: str = "*.las",
+    batch_size: int = 32,
+    presampled_suffix: str = "_fps_7168",
+    plot_bucket: int = 64,
+    seed: int = 0,
+    log_fn=print,
+) -> int:
+    """Long-running serving: poll ``in_dir`` and predict plots not yet in
+    ``out_csv``, appending rows as they arrive.
+
+    The checkpoint, folded engine, and compiled serving computations stay
+    warm in-process (with ``plot_bucket`` keeping arrival-batch shapes in a
+    handful of buckets), so the marginal cost of a new plot is milliseconds —
+    vs a fresh CLI start per arrival paying model load + compile-cache reads.
+    Restart-safe: already-written PlotIDs are loaded from ``out_csv`` and
+    skipped. Returns the number of plots predicted.
+    """
+    import time
+
+    from dl_biomass_tpu.eval.testing import load_model_for_eval, predict_dataset
+    from dl_biomass_tpu.models.inference import compile_dataset_inference
+
+    use_columns = use_columns or ["intensity_normalized"]
+    model, params, batch_stats, path = load_model_for_eval(model_dir, model_file)
+    log_fn(f"watching {in_dir!r} with model {path}")
+    variables = {"params": params, "batch_stats": batch_stats}
+    try:
+        serve_ds = compile_dataset_inference(model, variables)
+    except NotImplementedError:
+        serve_ds = None  # non-flagship architecture: model.apply below
+
+    seen: set = set()
+    if os.path.exists(out_csv):
+        seen = set(pd.read_csv(out_csv, usecols=["PlotID"])["PlotID"].astype(str))
+        log_fn(f"resuming: {len(seen)} plots already in {out_csv}")
+    else:
+        os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+        with open(out_csv, "w") as f:
+            f.write("PlotID," + ",".join(BIOMASS_COLUMNS) + ",tree_btphr\n")
+
+    def make_fileset():
+        import glob as _glob
+
+        names = [os.path.basename(p) for p in
+                 _glob.glob(os.path.join(in_dir, glob))]
+        prefixes = sorted({n.split(".")[0][:2] for n in names}) or ["BC"]
+        if use_presampled:
+            from dl_biomass_tpu.io.dataset import PointCloudsInFilesPreSampled
+
+            return _targetless(PointCloudsInFilesPreSampled(
+                in_dir, glob, dataset=prefixes, use_column=use_columns[0],
+                presampled_suffix=presampled_suffix,
+            ))
+        from dl_biomass_tpu.io.dataset import PointCloudsInFiles
+
+        return _targetless(PointCloudsInFiles(
+            in_dir, glob, max_points=num_points, use_columns=use_columns,
+            filter_height=0.2, dataset=prefixes,
+        ))
+
+    total = 0
+    polls = 0
+    while True:
+        fileset = make_fileset()
+        fileset.files = [
+            f for i, f in enumerate(fileset.files)
+            if fileset.plot_id(i) not in seen
+        ]
+        if fileset.files:
+            if use_presampled:
+                ds = fileset.load_all(for_augmentation=False)
+            else:
+                ds = fileset.load_all(np.random.default_rng(seed),
+                                      for_augmentation=False)
+            n_real = len(ds)
+            ids = list(ds.plot_ids)
+            if plot_bucket and plot_bucket > 0:
+                ds = ds.pad_plots(-(-n_real // plot_bucket) * plot_bucket)
+            if serve_ds is not None:
+                pred = serve_ds(ds, batch_size)
+            else:
+                pred = predict_dataset(model, params, batch_stats, ds, batch_size)
+            pred = np.asarray(pred[:n_real], np.float32)
+            with open(out_csv, "a") as f:
+                for pid, row in zip(ids, pred):
+                    f.write(f"{pid}," + ",".join(f"{v}" for v in row)
+                            + f",{row.sum()}\n")
+            seen.update(ids)
+            total += n_real
+            log_fn(f"predicted {n_real} new plots ({total} total)")
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            return total
+        time.sleep(poll_seconds)

@@ -175,3 +175,41 @@ def test_pad_plots_shapes_and_guard(rng):
     assert ds.pad_plots(5) is ds
     with pytest.raises(ValueError):
         ds.pad_plots(4)
+
+
+def test_watch_directory_appends_new_plots(checkpoint_and_plots, rng):
+    """watch mode: first poll predicts the existing plots; a restart after
+    new files arrive appends ONLY the unseen ones (dedup from the CSV)."""
+    from dl_biomass_tpu.eval.predict import watch_directory
+
+    ckpt_dir, plot_dir, tmp_path = checkpoint_and_plots
+    out = str(tmp_path / "watch.csv")
+    n1 = watch_directory(ckpt_dir, plot_dir, out, max_polls=1,
+                         poll_seconds=0, batch_size=2, plot_bucket=4,
+                         log_fn=lambda s: None)
+    assert n1 == 5
+    df1 = pd.read_csv(out, index_col="PlotID")
+    assert len(df1) == 5
+
+    # two new plots arrive; a fresh watch (simulating a restart) must skip
+    # the five already-served plots
+    n = 256
+    for i in (7, 8):
+        coords, intensity, _ = synthetic_plot(np.random.default_rng(i), n)
+        inorm = (intensity - intensity.min()) / max(float(np.ptp(intensity)), 1) * 20
+        write_las(coords, os.path.join(plot_dir, f"RM_{i:03d}_fps_7168.las"),
+                  {"intensity_normalized": inorm.astype(np.float32)})
+    n2 = watch_directory(ckpt_dir, plot_dir, out, max_polls=1,
+                         poll_seconds=0, batch_size=2, plot_bucket=4,
+                         log_fn=lambda s: None)
+    assert n2 == 2
+    df2 = pd.read_csv(out, index_col="PlotID")
+    assert len(df2) == 7
+    # previously served rows are untouched
+    np.testing.assert_array_equal(df2.loc[df1.index].values, df1.values)
+    # appended predictions match a direct predict of the same plots
+    direct = predict_directory(ckpt_dir, plot_dir, None, batch_size=2,
+                               plot_bucket=4)
+    np.testing.assert_allclose(
+        df2.loc[[f"RM_{i:03d}" for i in (7, 8)]].values,
+        direct.loc[[f"RM_{i:03d}" for i in (7, 8)]].values, rtol=1e-5)
