@@ -278,8 +278,17 @@ def cmd_tune(argv):
     objective = make_training_objective(
         ds_train, ds_val, base_cfg=cfg, max_num_epochs=args.max_epochs, seed=cfg.seed
     )
-    study.optimize(objective, n_trials=args.n_trials, timeout=args.timeout)
-    study.save(args.study_out)
+    try:
+        study.optimize(objective, n_trials=args.n_trials, timeout=args.timeout)
+    finally:
+        # a failing trial re-raises out of optimize — persist the completed
+        # trials either way (hours of search must survive one bad trial);
+        # a save failure must not mask the trial's own exception
+        try:
+            study.save(args.study_out)
+        except Exception as e:
+            print(f"WARNING: could not save study to {args.study_out}: {e}",
+                  file=sys.stderr)
     print("Best trial:")
     print("  Value: ", study.best_value)
     for k, v in study.best_params.items():

@@ -29,6 +29,14 @@ from dl_biomass_tpu.core.cloud import CloudBatch, round_up
 from dl_biomass_tpu.transforms.augment import aug_capacity, augment_batch
 
 
+# domain tag folded into the epoch key before per-batch augmentation keys are
+# derived: without it, fold_in(key, b0) for batch offsets collides with the
+# trainer's per-step fold_in(key, i) whenever b0 == i (always at step 0, and
+# at every step when batch_size == 1), correlating augmentation noise with
+# the step's dropout/FPS randomness
+AUG_KEY_DOMAIN = 0x617567  # "aug"
+
+
 @partial(jax.jit, static_argnames=("base_n",))
 def _assemble_batch(pos, feat, mask, y, idx, aug_flag, sample_valid, key, *, base_n: int):
     """Gather clouds ``idx`` from the device-resident dataset, augment where
@@ -169,7 +177,8 @@ class DeviceDataset:
         idxs, augs, valids, b0s = self.epoch_spec_arrays(
             batch_size, key=key, num_augs=num_augs, shuffle=shuffle
         )
-        akey = key if key is not None else jax.random.key(0)
+        akey = (jax.random.fold_in(key, AUG_KEY_DOMAIN) if key is not None
+                else jax.random.key(0))
         for si in range(len(b0s)):
             yield idxs[si], augs[si], valids[si], jax.random.fold_in(
                 akey, int(b0s[si])
@@ -188,8 +197,8 @@ class DeviceDataset:
         scan-over-steps epoch (Trainer.train_epoch_scan), which runs the whole
         epoch as ONE device dispatch. ``b0s`` carries each step's batch offset
         so the scan body can derive the step's augmentation key exactly as
-        ``epoch_specs`` does (``fold_in(key, b0)``) — the two paths stay
-        bit-identical."""
+        ``epoch_specs`` does (``fold_in(fold_in(key, AUG_KEY_DOMAIN), b0)``) —
+        the two paths stay bit-identical."""
         if num_augs > 0 and key is None:
             raise ValueError(
                 "epoch_spec_arrays(num_augs>0) needs a PRNG key — without one "

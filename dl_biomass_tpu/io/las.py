@@ -210,7 +210,21 @@ def _parse_extra_bytes_vlr(payload: bytes) -> List[ExtraDim]:
         desc = rec[160:192].split(b"\0")[0].decode("ascii", "replace")
         if data_type in _EB_TYPES:
             dims.append(ExtraDim(name, np.dtype(_EB_TYPES[data_type]), desc))
-        else:  # undocumented/deprecated composite types: treat as raw bytes
+        elif data_type == 0:
+            # LAS 1.4 Extra Bytes: data_type 0 = "undocumented bytes", whose
+            # SIZE is the options field (byte 3) — assuming 1 byte would shift
+            # every subsequent extra dim's offset and silently corrupt values
+            size = max(int(rec[3]), 1)
+            dims.append(ExtraDim(name, np.dtype(("V", size)), desc))
+        elif 11 <= data_type <= 30:
+            # deprecated composite types: 11-20 are 2-element, 21-30 are
+            # 3-element arrays of base types 1-10 — size them correctly so
+            # later extra dims stay aligned (values exposed as raw bytes)
+            mult = 2 if data_type <= 20 else 3
+            base = data_type - 10 if data_type <= 20 else data_type - 20
+            size = mult * np.dtype(_EB_TYPES[base]).itemsize
+            dims.append(ExtraDim(name, np.dtype(("V", size)), desc))
+        else:  # reserved/unknown: 1 raw byte placeholder
             dims.append(ExtraDim(name, np.dtype(("V", 1)), desc))
     return dims
 

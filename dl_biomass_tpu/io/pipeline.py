@@ -45,7 +45,8 @@ class PrefetchingLoader:
         self.prefetch = prefetch
         self.capacity = aug_capacity(base_n) if num_augs > 0 else base_n
 
-    def _produce(self, q: queue.Queue, seed: int, shuffle: bool):
+    def _produce(self, q: queue.Queue, seed: int, shuffle: bool,
+                 stop: threading.Event):
         rng = np.random.default_rng(seed)
         p = len(self.fileset)
         order = np.tile(np.arange(p), 1 + self.num_augs)
@@ -54,8 +55,23 @@ class PrefetchingLoader:
             perm = rng.permutation(len(order))
             order, flags = order[perm], flags[perm]
         bs, cap = self.batch_size, self.capacity
+
+        def put(item) -> bool:
+            # bounded-queue put that gives up when the consumer abandons the
+            # epoch (otherwise a consumer that breaks mid-epoch would leave
+            # this thread blocked on a full queue forever, holding batches)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for b0 in range(0, len(order), bs):
+                if stop.is_set():
+                    return
                 sel = order[b0 : b0 + bs]
                 fl = flags[b0 : b0 + bs]
                 pos = np.zeros((bs, cap, 3), np.float32)
@@ -78,27 +94,50 @@ class PrefetchingLoader:
                     aflag[j] = f
                 if feat is None:
                     continue
-                q.put((pos, feat, mask, y, aflag))
+                if not put((pos, feat, mask, y, aflag)):
+                    return
+        except BaseException as e:  # surfaced by the consumer — a swallowed
+            # decode error would silently truncate the epoch mid-training
+            put(("error", e))
+            return
         finally:
-            q.put(None)
+            put(None)
 
     def epoch(self, key: jax.Array, shuffle: bool = True) -> Iterator[CloudBatch]:
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q, seed, shuffle), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, seed, shuffle, stop),
+                             daemon=True)
         t.start()
+        try:
+            yield from self._consume(q, key)
+            t.join()
+        finally:
+            stop.set()  # unblock/terminate the producer if we exit early
+
+    def _consume(self, q: queue.Queue, key: jax.Array) -> Iterator[CloudBatch]:
+        from dl_biomass_tpu.io.device_data import AUG_KEY_DOMAIN
+
+        # domain-separated from the trainer's per-step fold_in(key, i)
+        # (fit hands both the loader and train_epoch the SAME epoch key)
+        akey = jax.random.fold_in(key, AUG_KEY_DOMAIN)
         i = 0
         while True:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "error":
+                raise RuntimeError(
+                    "PrefetchingLoader producer failed mid-epoch"
+                ) from item[1]
             pos, feat, mask, y, aflag = item
             batch = CloudBatch(
                 pos=jax.device_put(pos), feat=jax.device_put(feat),
                 mask=jax.device_put(mask), y=jax.device_put(y),
             )
             if self.num_augs > 0 and aflag.any():
-                aug = augment_batch(jax.random.fold_in(key, i), batch, self.base_n)
+                aug = augment_batch(jax.random.fold_in(akey, i), batch, self.base_n)
                 f = jnp.asarray(aflag)[:, None]
                 batch = CloudBatch(
                     pos=jnp.where(f[..., None], aug.pos, batch.pos),
@@ -108,4 +147,3 @@ class PrefetchingLoader:
                 )
             yield batch
             i += 1
-        t.join()

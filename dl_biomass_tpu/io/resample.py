@@ -173,13 +173,20 @@ def check_resampling(in_dir: str, out_path: Optional[str] = None, seed: int = 0)
 
     from dl_biomass_tpu.eval.plots import plot_cloud_grid
 
-    files = sorted(Path(in_dir).glob("*"))
+    # cloud files only: the out dir may also hold this function's own PNG
+    # from a previous run (or other artifacts), which read_las would reject
+    files = sorted(
+        f for f in Path(in_dir).glob("*")
+        if f.suffix.lower() in (".las", ".laz", ".parq", ".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no cloud files under {in_dir!r}")
     rng = np.random.default_rng(seed)
     pick = rng.choice(len(files), size=min(4, len(files)), replace=False)
     coords_list = []
     for i in pick:
         f = files[i]
-        if f.suffix in (".parq", ".parquet"):
+        if f.suffix.lower() in (".parq", ".parquet"):  # match the filter above
             coords_list.append(pd.read_parquet(f, columns=["x", "y", "z"]).to_numpy())
         else:
             coords_list.append(read_las(str(f), get_attributes=False, filter_height=0))

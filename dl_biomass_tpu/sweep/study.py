@@ -186,13 +186,25 @@ class GridSampler:
         from itertools import product
 
         self._grid = [dict(zip(names, combo)) for combo in product(*self.space.values())]
+        # grid points are assigned per trial SEEN BY THIS SAMPLER, not by the
+        # study's absolute trial number — a study resumed with prior trials
+        # from another sampler must still walk the whole grid
+        self._assigned: Dict[int, int] = {}
 
     def __len__(self) -> int:
         return len(self._grid)
 
+    def is_exhausted(self) -> bool:
+        """True once every grid point has been assigned to a trial (a failed
+        trial consumes its point; Study.optimize stops instead of re-running
+        duplicates)."""
+        return len(self._assigned) >= len(self._grid)
+
     def sample(self, study: "Study", name: str, spec: _ParamSpec):
-        idx = study._current_trial_number % len(self._grid)
-        return self._grid[idx][name]
+        num = study._current_trial_number
+        if num not in self._assigned:
+            self._assigned[num] = len(self._assigned) % len(self._grid)
+        return self._grid[self._assigned[num]][name]
 
 
 def _to_space(v, spec: _ParamSpec) -> float:
@@ -239,29 +251,37 @@ class MedianPruner:
         done = [t for t in study.trials if t.state == TrialState.COMPLETE]
         if len(done) < self.n_startup_trials:
             return False
+        # "best so far" follows the study direction — min() under maximize
+        # would judge every trial by its WORST epoch and prune improving runs
+        best = min if study.direction == "minimize" else max
         peers = [
-            min(v for s, v in t.intermediate_values.items() if s <= step)
+            best(v for s, v in t.intermediate_values.items() if s <= step)
             for t in done
             if t.intermediate_values and min(t.intermediate_values) <= step
         ]
         if not peers:
             return False
         median = float(np.median(peers))
-        current = min(v for s, v in frozen.intermediate_values.items() if s <= step)
+        current = best(v for s, v in frozen.intermediate_values.items() if s <= step)
         return current > median if study.direction == "minimize" else current < median
 
 
 # ---- study ----------------------------------------------------------------------
 
 
+_DEFAULT_PRUNER = object()  # unique sentinel: pruner=None must mean NO pruning
+
+
 class Study:
-    def __init__(self, direction: str = "minimize", sampler=None, pruner=None,
-                 study_name: str = "study"):
+    def __init__(self, direction: str = "minimize", sampler=None,
+                 pruner=_DEFAULT_PRUNER, study_name: str = "study"):
         if direction not in ("minimize", "maximize"):
             raise ValueError(f"direction {direction!r}")
         self.direction = direction
         self.sampler = sampler or TPESampler()
-        self.pruner = pruner if pruner is not None else MedianPruner()
+        # pruner=None disables pruning (Optuna's NopPruner analog); only the
+        # not-given default gets the MedianPruner
+        self.pruner = MedianPruner() if pruner is _DEFAULT_PRUNER else pruner
         self.study_name = study_name
         self.trials: List[FrozenTrial] = []
         self._current_trial_number = 0
@@ -285,6 +305,10 @@ class Study:
                 break
             if n_trials is None and timeout is None and i >= 1:
                 break
+            # a finite sampler (GridSampler) stops when its grid is exhausted
+            # instead of silently re-running duplicate configurations
+            if getattr(self.sampler, "is_exhausted", lambda: False)():
+                break
             frozen = FrozenTrial(number=len(self.trials))
             self._current_trial_number = frozen.number
             self.trials.append(frozen)
@@ -296,7 +320,8 @@ class Study:
             except TrialPruned:
                 frozen.state = TrialState.PRUNED
                 if frozen.intermediate_values:
-                    frozen.value = min(frozen.intermediate_values.values())
+                    best = min if self.direction == "minimize" else max
+                    frozen.value = best(frozen.intermediate_values.values())
             except Exception:
                 frozen.state = TrialState.FAIL
                 raise
@@ -348,11 +373,18 @@ class Study:
         from sklearn.ensemble import RandomForestRegressor
 
         cats = {n for t in done for n, s in t.distributions.items() if s.kind == "categorical"}
+        # stable per-study categorical encoding: index into the sorted value
+        # set (python's hash() is process-salted — importances from the same
+        # study JSON would differ across runs)
+        cat_codes = {
+            n: {v: k for k, v in enumerate(sorted({str(t.params.get(n, 0)) for t in done}))}
+            for n in cats
+        }
         x = np.zeros((len(done), len(names)))
         for i, t in enumerate(done):
             for j, n in enumerate(names):
                 v = t.params.get(n, 0)
-                x[i, j] = hash(str(v)) % 1000 if n in cats else float(v)
+                x[i, j] = cat_codes[n][str(v)] if n in cats else float(v)
         y = np.asarray([t.value for t in done])
         rf = RandomForestRegressor(n_estimators=64, random_state=0).fit(x, y)
         imp = rf.feature_importances_
@@ -381,12 +413,12 @@ class Study:
             json.dump(payload, f, indent=2)
 
 
-def create_study(direction: str = "minimize", sampler=None, pruner=None,
-                 study_name: str = "study") -> Study:
+def create_study(direction: str = "minimize", sampler=None,
+                 pruner=_DEFAULT_PRUNER, study_name: str = "study") -> Study:
     return Study(direction=direction, sampler=sampler, pruner=pruner, study_name=study_name)
 
 
-def load_study(path: str, sampler=None, pruner=None) -> Study:
+def load_study(path: str, sampler=None, pruner=_DEFAULT_PRUNER) -> Study:
     with open(path) as f:
         payload = json.load(f)
     s = Study(direction=payload["direction"], sampler=sampler, pruner=pruner,

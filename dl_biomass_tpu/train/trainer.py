@@ -286,11 +286,13 @@ class Trainer:
         idxs, augs, valids, b0s = ds.epoch_spec_arrays(
             batch_size, key=key, num_augs=num_augs, shuffle=shuffle
         )
+        from dl_biomass_tpu.io.device_data import AUG_KEY_DOMAIN
+
         state, losses = self._scan_train_epoch(
             state, ds.pos, ds.feat, ds.mask, ds.y,
             jnp.asarray(idxs), jnp.asarray(augs), jnp.asarray(valids),
             jnp.asarray(b0s), jnp.arange(len(b0s), dtype=jnp.int32),
-            key, key, base_n=ds.base_n,
+            jax.random.fold_in(key, AUG_KEY_DOMAIN), key, base_n=ds.base_n,
         )
         return state, float(np.mean(np.asarray(losses))), int(valids.sum())
 

@@ -51,6 +51,45 @@ class TestPrefetchingLoader:
         counts = np.asarray(jnp.sum(batches[0].mask, axis=1))
         np.testing.assert_array_equal(counts, [128, 128])
 
+    def test_producer_error_propagates(self, fileset):
+        """A decode failure mid-epoch must raise in the consumer — a silently
+        truncated epoch would train on random subsets with no error."""
+        from dl_biomass_tpu.io.pipeline import PrefetchingLoader
+
+        orig_get = fileset.get
+        calls = {"n": 0}
+
+        def bad_get(idx, rng):
+            calls["n"] += 1
+            if calls["n"] == 4:
+                raise ValueError("corrupt LAS record")
+            return orig_get(idx, rng)
+
+        fileset.get = bad_get
+        loader = PrefetchingLoader(fileset, batch_size=2, base_n=128, num_augs=0)
+        with pytest.raises(RuntimeError, match="producer failed"):
+            list(loader.epoch(jax.random.key(1), shuffle=False))
+
+    def test_consumer_abandon_does_not_hang(self, fileset):
+        """Breaking out of the epoch mid-stream must terminate the producer
+        thread (a bounded q.put would otherwise block it forever)."""
+        import threading
+        import time
+
+        from dl_biomass_tpu.io.pipeline import PrefetchingLoader
+
+        before = set(threading.enumerate())
+        loader = PrefetchingLoader(fileset, batch_size=1, base_n=128,
+                                   num_augs=2, prefetch=1)
+        gen = loader.epoch(jax.random.key(2))
+        next(gen)
+        produced = [t for t in threading.enumerate() if t not in before]
+        gen.close()  # abandon: runs the generator's finally -> stop.set()
+        deadline = time.time() + 5.0  # producer exits within the put timeout
+        for t in produced:
+            t.join(max(0.0, deadline - time.time()))
+        assert not any(t.is_alive() for t in produced)
+
 
 class TestFPDecoder:
     def test_knn_interpolate_exactness(self):

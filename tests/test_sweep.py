@@ -112,6 +112,50 @@ class TestStudyAPI:
         seen = {(t.params["lr"], t.params["wd"]) for t in study.trials}
         assert seen == {(0.1, 1e-4), (0.1, 1e-3), (0.2, 1e-4), (0.2, 1e-3)}
 
+    def test_grid_sampler_stops_when_exhausted(self):
+        """n_trials beyond the grid size must stop at the grid, not silently
+        re-run duplicate configurations."""
+        grid = GridSampler({"lr": [0.1, 0.2]})
+        study = create_study(sampler=grid, pruner=None)
+        study.optimize(lambda t: t.suggest_float("lr", 0.0, 1.0), n_trials=10)
+        assert len(study.trials) == 2
+
+    def test_pruner_none_disables_pruning(self):
+        """pruner=None is the NopPruner analog; only the not-given default
+        gets the MedianPruner (the CLI's --no-pruning relies on this)."""
+        assert create_study(pruner=None).pruner is None
+        assert isinstance(create_study().pruner, MedianPruner)
+
+    def test_median_pruner_maximize_uses_best_so_far(self):
+        """Under maximize, a trial judged by its WORST epoch would be pruned
+        even while improving past the median — best-so-far must be used."""
+        study = create_study(direction="maximize", sampler=RandomSampler(0),
+                             pruner=MedianPruner(n_startup_trials=1,
+                                                 n_warmup_steps=1))
+
+        def flat(trial):
+            trial.suggest_float("x", 0.0, 1.0)
+            for step in range(3):
+                trial.report(0.5, step)
+            return 0.5
+
+        study.optimize(flat, n_trials=2)
+
+        def improving(trial):
+            trial.suggest_float("x", 0.0, 1.0)
+            vals = [0.1, 0.9]
+            for step, v in enumerate(vals):
+                trial.report(v, step)
+                if trial.should_prune():
+                    from dl_biomass_tpu.sweep.study import TrialPruned
+
+                    raise TrialPruned()
+            return vals[-1]
+
+        study.optimize(improving, n_trials=1)
+        assert study.trials[-1].state.value == "COMPLETE"
+        assert study.trials[-1].value == 0.9
+
 
 class TestVmappedSweep:
     def test_parallel_trials_differ_and_learn(self):
