@@ -51,15 +51,30 @@ def _make_batch(rng, b, n, f=1):
     )
 
 
-def _time_train(trainer, state, batch, steps=TIMED_STEPS):
+def _enable_cache():
+    """Persistent compile cache for EVERY bench path (incl. --config 0,
+    which never initializes a device)."""
+    from dl_biomass_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
+def _time_train(trainer, state, batch, steps=TIMED_STEPS, repeats=1):
+    """Warmup + best-of-``repeats`` chained-step windows; the ONE home of the
+    train-step timing discipline (all steps chain through ``state``, one host
+    sync per window — see the block_until_ready caveat in _measure_point).
+    Returns ``(seconds_per_step, final_state)``."""
     key = jax.random.key(1)
     state, loss = trainer._train_step(state, batch, key)
     float(loss)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, i))
-    float(loss)
-    return (time.perf_counter() - t0) / steps
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, i))
+        float(loss)  # all steps chain through `state`; reading the last syncs all
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best, state
 
 
 def bench_config0() -> None:
@@ -80,7 +95,7 @@ def bench_config0() -> None:
     model = build_model(cfg, num_features=1)
     trainer = Trainer(model, cfg)
     state = trainer.init_state(jax.random.key(0), batch)
-    dt = _time_train(trainer, state, batch, steps=4)
+    dt, _ = _time_train(trainer, state, batch, steps=4)
     print(json.dumps({
         "metric": "config0_cpu_fwd_bwd_1024pts", "value": round(b / dt, 2),
         "unit": "clouds/s", "train_ms_per_step": round(dt * 1000, 2),
@@ -147,7 +162,7 @@ def bench_config2() -> None:
         model = build_model(cfg, num_features=1)
         trainer = Trainer(model, cfg)
         state = trainer.init_state(jax.random.key(0), batch)
-        dt = _time_train(trainer, state, batch)
+        dt, _ = _time_train(trainer, state, batch)
         out[name] = {"clouds_per_sec": round(B / dt, 2),
                      "train_ms_per_step": round(dt * 1000, 2)}
     print(json.dumps({
@@ -266,19 +281,25 @@ def _require_device(timeout_s: int = 180) -> None:
     import sys
     import threading
 
-    from dl_biomass_tpu.utils.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
+    _enable_cache()
     ok = []
-    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
+    err = []
+
+    def init():
+        try:
+            ok.append(jax.devices())
+        except Exception as e:  # report the real error, not a fake timeout
+            err.append(e)
+
+    t = threading.Thread(target=init, daemon=True)
     t.start()
     t.join(timeout_s)
     if not ok:
-        print(
-            f"FATAL: backend did not initialize within {timeout_s}s "
-            "(axon tunnel down?) — no measurement possible",
-            file=sys.stderr,
+        msg = (
+            f"backend init failed: {type(err[0]).__name__}: {err[0]}" if err
+            else f"backend did not initialize within {timeout_s}s (axon tunnel down?)"
         )
+        print(f"FATAL: {msg} — no measurement possible", file=sys.stderr)
         os._exit(3)
 
 
@@ -301,15 +322,7 @@ def _measure_point(b: int, with_engine: bool = True) -> dict:
     # synchronizes, so every timing boundary pulls a scalar to host.
     # The tunneled chip shows ~10% run-to-run drift, so take the best of
     # REPEATS timed windows — the floor is the machine-capability number.
-    state, loss = trainer._train_step(state, batch, key)
-    float(loss)
-    train_dt = float("inf")
-    for rep in range(REPEATS):
-        t0 = time.perf_counter()
-        for i in range(TIMED_STEPS):
-            state, loss = trainer._train_step(state, batch, jax.random.fold_in(key, i))
-        float(loss)  # all steps chain through `state`; reading the last syncs all
-        train_dt = min(train_dt, (time.perf_counter() - t0) / TIMED_STEPS)
+    train_dt, state = _time_train(trainer, state, batch, repeats=REPEATS)
 
     # inference: device executes queued programs in order, so syncing the last
     # call's output (a real host transfer) bounds all of them — same
@@ -355,10 +368,12 @@ def _measure_point(b: int, with_engine: bool = True) -> dict:
         "eval_dt": eval_dt,
         "engine_dt": engine_dt,
         "infer_dt": min(eval_dt, engine_dt),
+        "_model": model,  # reused by _measure_bulk_serving (underscore keys
+        "_state": state,  # are not serialized into the JSON line)
     }
 
 
-def _measure_bulk_serving(b: int, s: int = 8):
+def _measure_bulk_serving(b: int, s: int = 8, *, model=None, state=None):
     """Directory-scale serving: s*b clouds through compile_dataset_inference
     (the whole dataset in ONE scanned dispatch — what the predict CLI runs).
     Returns clouds/s, or None if the path is unavailable (guarded like the
@@ -380,10 +395,13 @@ def _measure_bulk_serving(b: int, s: int = 8):
             [f"BC_{i:04d}" for i in range(p)],
             N,
         )
-        cfg = TrainConfig(hp=HyperParams(batch_size=b))
-        model = build_model(cfg, num_features=1)
-        trainer = Trainer(model, cfg)
-        state = trainer.init_state(jax.random.key(0), _make_batch(rng, b, N))
+        if model is None or state is None:
+            # standalone use only — main() passes _measure_point's model/state
+            # to avoid a duplicate build + init compile
+            cfg = TrainConfig(hp=HyperParams(batch_size=b))
+            model = build_model(cfg, num_features=1)
+            trainer = Trainer(model, cfg)
+            state = trainer.init_state(jax.random.key(0), _make_batch(rng, b, N))
         serve = compile_dataset_inference(
             model, {"params": state.params, "batch_stats": state.batch_stats}
         )
@@ -406,7 +424,10 @@ def main() -> None:
 
     head = _measure_point(B_HEAD, with_engine=True)
     alt = _measure_point(B, with_engine=False)
-    serve_cps = _measure_bulk_serving(B_HEAD)
+    serve_cps = _measure_bulk_serving(
+        B_HEAD, model=head.pop("_model"), state=head.pop("_state")
+    )
+    alt.pop("_model"), alt.pop("_state")
 
     train_cps = B_HEAD / head["train_dt"]
     infer_cps = B_HEAD / head["infer_dt"]
@@ -463,9 +484,18 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1].startswith("--config"):
         # BASELINE.json "configs" rows: bench.py --config N (0..4)
-        n = int(sys.argv[1].split("=")[-1]) if "=" in sys.argv[1] else int(sys.argv[2])
+        try:
+            n = int(sys.argv[1].split("=")[-1]) if "=" in sys.argv[1] else int(sys.argv[2])
+        except (IndexError, ValueError):
+            print("usage: bench.py --config N  (N in 0..4)", file=sys.stderr)
+            sys.exit(2)
+        if not 0 <= n <= 4:
+            print(f"unknown config {n}: valid configs are 0..4", file=sys.stderr)
+            sys.exit(2)
         if n != 0:  # config 0 is CPU-only by definition
             _require_device()
+        else:
+            _enable_cache()
         [bench_config0, bench_config1, bench_config2, bench_config3,
          bench_config4][n]()
     else:
