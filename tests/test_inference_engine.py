@@ -114,6 +114,29 @@ class TestInferenceEngine:
         assert got.shape == (p, 4)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_mesh_dataset_serving_matches_single_device(self, rng):
+        """compile_dataset_inference(mesh=...) — the scanned bulk path under
+        dp sharding must reproduce the unsharded scan."""
+        from dl_biomass_tpu.io.device_data import DeviceDataset
+        from dl_biomass_tpu.models.inference import compile_dataset_inference
+        from dl_biomass_tpu.parallel.mesh import make_mesh
+
+        p, n = 16, 256
+        ds = DeviceDataset(
+            rng.normal(size=(p, n, 3)).astype(np.float32) * 3,
+            rng.normal(size=(p, n, 1)).astype(np.float32),
+            np.ones((p, n), bool), np.zeros((p, 4), np.float32),
+            [f"BC_{i}" for i in range(p)], n,
+        )
+        model = PointNet2Regressor(num_features=1, use_pallas=False)
+        variables = model.init(
+            {"params": jax.random.key(0)}, next(iter(ds.batches(8))), train=False
+        )
+        want = compile_dataset_inference(model, variables)(ds, 8)
+        mesh = make_mesh(dp=-1, mp=1)
+        got = compile_dataset_inference(model, variables, mesh=mesh)(ds, 8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_mesh_serving_matches_single_device(self, rng):
         """compile_inference(mesh=...) — data-parallel serving over the
         8-device virtual mesh must reproduce the unsharded engine (weights

@@ -213,3 +213,16 @@ def test_watch_directory_appends_new_plots(checkpoint_and_plots, rng):
     np.testing.assert_allclose(
         df2.loc[[f"RM_{i:03d}" for i in (7, 8)]].values,
         direct.loc[[f"RM_{i:03d}" for i in (7, 8)]].values, rtol=1e-5)
+
+
+def test_predict_cli_watch_wiring(checkpoint_and_plots, capsys):
+    """`predict --watch --max-polls 1` through the real CLI entry."""
+    from dl_biomass_tpu.__main__ import main
+
+    ckpt_dir, plot_dir, tmp_path = checkpoint_and_plots
+    out = str(tmp_path / "cli_watch.csv")
+    main(["predict", "--model-dir", ckpt_dir, "--in-dir", plot_dir,
+          "--out", out, "--watch", "--max-polls", "1", "--poll-seconds", "0",
+          "--batch-size", "2", "--plot-bucket", "4"])
+    assert "watch ended: 5 plots" in capsys.readouterr().out
+    assert len(pd.read_csv(out)) == 5
