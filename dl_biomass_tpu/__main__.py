@@ -384,6 +384,10 @@ def cmd_predict(argv):
                    help="round the served plot count up to a multiple of this "
                         "so same-bucket directory sizes share one compiled "
                         "serving computation (0 disables)")
+    p.add_argument("--from-export", default=None, metavar="DIR",
+                   help="serve through an AOT artifact written by "
+                        "`export-model` instead of a checkpoint (no model "
+                        "rebuild or jit tracing; --model-dir is ignored)")
     p.add_argument("--watch", action="store_true",
                    help="keep running: poll --in-dir and append predictions "
                         "for newly arriving plots (restart-safe; the engine "
@@ -404,7 +408,7 @@ def cmd_predict(argv):
             num_points=args.num_points, glob=args.glob,
             batch_size=args.batch_size,
             presampled_suffix=args.presampled_suffix,
-            plot_bucket=args.plot_bucket,
+            plot_bucket=args.plot_bucket, export_path=args.from_export,
         )
         print(f"watch ended: {n} plots predicted -> {args.out}")
         return
@@ -419,9 +423,47 @@ def cmd_predict(argv):
         num_points=args.num_points, glob=args.glob,
         batch_size=args.batch_size, presampled_suffix=args.presampled_suffix,
         parity=args.parity, engine=not args.no_engine,
-        plot_bucket=args.plot_bucket,
+        plot_bucket=args.plot_bucket, export_path=args.from_export,
     )
     print(f"wrote {len(df)} predictions -> {args.out}")
+
+
+def cmd_export_model(argv):
+    """AOT serving export: checkpoint -> a portable StableHLO artifact that
+    serves without model code (models/export.py). The TPU-native replacement
+    for the reference's whole-module torch.save pickles (main.py:243-245,
+    loadable only next to the exact source tree, testing_model.py:30-37)."""
+    p = argparse.ArgumentParser(prog="export-model")
+    p.add_argument("--model-dir", default="models_out")
+    p.add_argument("--model-file")
+    p.add_argument("--out", required=True, help="artifact directory to write")
+    p.add_argument("--batch-size", type=int, default=36)
+    p.add_argument("--num-points", type=int, default=7168,
+                   help="served point-axis size; rounded up to the 128-lane "
+                        "capacity the datasets produce")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering targets (default: the "
+                        "current backend — export on the serving platform)")
+    args = p.parse_args(argv)
+
+    from dl_biomass_tpu.core.cloud import round_up
+    from dl_biomass_tpu.eval.testing import load_model_for_eval
+    from dl_biomass_tpu.models.export import export_serving
+
+    model, params, batch_stats, path = load_model_for_eval(
+        args.model_dir, args.model_file
+    )
+    print("Exporting model:", path)
+    meta = export_serving(
+        model, {"params": params, "batch_stats": batch_stats},
+        batch_size=args.batch_size,
+        num_points=round_up(args.num_points, 128),
+        path=args.out,
+        platforms=args.platforms.split(",") if args.platforms else None,
+    )
+    print(f"wrote artifact -> {args.out} "
+          f"(platforms {meta['platforms']}, envelope "
+          f"{meta['batch_size']}x{meta['num_points']}x{meta['num_features']})")
 
 
 def cmd_parity_record(argv):
@@ -484,6 +526,7 @@ COMMANDS = {
     "seed-study": cmd_seed_study,
     "evaluate": cmd_evaluate,
     "predict": cmd_predict,
+    "export-model": cmd_export_model,
     "resample": cmd_resample,
     "sweep": cmd_sweep,
     "tune": cmd_tune,

@@ -43,6 +43,7 @@ def predict_directory(
     engine: bool = True,
     seed: int = 0,
     plot_bucket: int = 64,
+    export_path: Optional[str] = None,
 ) -> pd.DataFrame:
     """Predict every plot under ``in_dir``; returns (and optionally writes)
     the predictions frame indexed by PlotID.
@@ -51,7 +52,11 @@ def predict_directory(
     (padded plots are masked out and their rows dropped), so directories
     whose sizes fall in the same bucket share ONE compiled serving
     computation — on this stack each new shape costs minutes of remote
-    compile, vs ~40 ms for a wasted padded batch. 0 disables."""
+    compile, vs ~40 ms for a wasted padded batch. 0 disables.
+
+    ``export_path``: serve through an AOT artifact (CLI ``export-model``,
+    models/export.py) instead of a checkpoint — no flax/model rebuild, no
+    jit tracing; ``model_dir``/``parity``/``engine`` are ignored."""
     from dl_biomass_tpu.eval.testing import load_model_for_eval, predict_dataset
 
     use_columns = use_columns or ["intensity_normalized"]
@@ -63,10 +68,17 @@ def predict_directory(
         names = [os.path.basename(p) for p in
                  _glob.glob(os.path.join(in_dir, glob))]
         use_datasets = sorted({n.split(".")[0][:2] for n in names}) or ["BC"]
-    model, params, batch_stats, path = load_model_for_eval(
-        model_dir, model_file, parity=parity
-    )
-    print("Using model:", path)
+    exported = None
+    if export_path is not None:
+        from dl_biomass_tpu.models.export import load_serving
+
+        exported = load_serving(export_path)
+        print("Using exported artifact:", export_path)
+    else:
+        model, params, batch_stats, path = load_model_for_eval(
+            model_dir, model_file, parity=parity
+        )
+        print("Using model:", path)
 
     if use_presampled:
         from dl_biomass_tpu.io.dataset import PointCloudsInFilesPreSampled
@@ -91,11 +103,17 @@ def predict_directory(
 
     n_real = len(ds)
     plot_ids = list(ds.plot_ids)
-    if plot_bucket and plot_bucket > 0:
+
+    if exported is None and plot_bucket and plot_bucket > 0:
         ds = ds.pad_plots(-(-n_real // plot_bucket) * plot_bucket)
 
     pred = None
-    if engine and not parity:
+    if exported is not None:
+        # the artifact's envelope does its own chunk+pad; plot_bucket is moot
+        pred = exported.predict(
+            np.asarray(ds.pos), np.asarray(ds.feat), np.asarray(ds.mask)
+        )
+    elif engine and not parity:
         from dl_biomass_tpu.models.inference import compile_dataset_inference
 
         try:
@@ -139,6 +157,7 @@ def watch_directory(
     plot_bucket: int = 64,
     seed: int = 0,
     log_fn=print,
+    export_path: Optional[str] = None,
 ) -> int:
     """Long-running serving: poll ``in_dir`` and predict plots not yet in
     ``out_csv``, appending rows as they arrive.
@@ -149,6 +168,10 @@ def watch_directory(
     vs a fresh CLI start per arrival paying model load + compile-cache reads.
     Restart-safe: already-written PlotIDs are loaded from ``out_csv`` and
     skipped. Returns the number of plots predicted.
+
+    ``export_path``: serve from an AOT artifact (models/export.py) instead of
+    a checkpoint — the daemon then needs no flax/model code at all, and the
+    artifact's fixed envelope replaces ``plot_bucket`` shape bucketing.
     """
     import time
 
@@ -156,13 +179,21 @@ def watch_directory(
     from dl_biomass_tpu.models.inference import compile_dataset_inference
 
     use_columns = use_columns or ["intensity_normalized"]
-    model, params, batch_stats, path = load_model_for_eval(model_dir, model_file)
-    log_fn(f"watching {in_dir!r} with model {path}")
-    variables = {"params": params, "batch_stats": batch_stats}
-    try:
-        serve_ds = compile_dataset_inference(model, variables)
-    except NotImplementedError:
-        serve_ds = None  # non-flagship architecture: model.apply below
+    exported = None
+    if export_path is not None:
+        from dl_biomass_tpu.models.export import load_serving
+
+        exported = load_serving(export_path)
+        serve_ds = None
+        log_fn(f"watching {in_dir!r} with exported artifact {export_path}")
+    else:
+        model, params, batch_stats, path = load_model_for_eval(model_dir, model_file)
+        log_fn(f"watching {in_dir!r} with model {path}")
+        variables = {"params": params, "batch_stats": batch_stats}
+        try:
+            serve_ds = compile_dataset_inference(model, variables)
+        except NotImplementedError:
+            serve_ds = None  # non-flagship architecture: model.apply below
 
     seen: set = set()
     if os.path.exists(out_csv):
@@ -209,9 +240,13 @@ def watch_directory(
                                       for_augmentation=False)
             n_real = len(ds)
             ids = list(ds.plot_ids)
-            if plot_bucket and plot_bucket > 0:
+            if exported is None and plot_bucket and plot_bucket > 0:
                 ds = ds.pad_plots(-(-n_real // plot_bucket) * plot_bucket)
-            if serve_ds is not None:
+            if exported is not None:
+                pred = exported.predict(
+                    np.asarray(ds.pos), np.asarray(ds.feat), np.asarray(ds.mask)
+                )
+            elif serve_ds is not None:
                 pred = serve_ds(ds, batch_size)
             else:
                 pred = predict_dataset(model, params, batch_stats, ds, batch_size)
