@@ -321,6 +321,13 @@ def cmd_density(argv):
     from dl_biomass_tpu.io.dataset import PointCloudsInFiles
 
     lo, hi, step = (int(x) for x in args.range.split(":"))
+    # Training HPs: the reference ablation runs its own alternate tuned set
+    # (point_density_effect.py:23-33), which is the default here (cfg=None).
+    # But a user who passes --config or any --hp.* override is asking for
+    # explicit control — silently ignoring those for the training inside the
+    # ablation would be a trap, so pass the full config through in that case.
+    hp_overridden = any(o.startswith("--hp.") for o in overrides)
+    train_cfg = cfg if (args.config or hp_overridden) else None
     rng = np.random.default_rng(cfg.seed)
     fileset = PointCloudsInFiles(
         cfg.data.train_dir, cfg.data.glob, max_points=hi,
@@ -336,7 +343,7 @@ def cmd_density(argv):
     point_density_effect(
         pos_list, feat_list, np.stack(ys), ids,
         point_range=range(lo, hi, step), out_csv=args.out_csv,
-        num_epochs=cfg.num_epochs,
+        cfg=train_cfg, num_epochs=cfg.num_epochs, seed=cfg.seed,
     )
     print(f"wrote {args.out_csv}")
 

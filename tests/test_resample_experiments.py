@@ -114,6 +114,62 @@ class TestAugVis:
         assert 180 <= len(aug) <= 221
 
 
+class TestDensity:
+    def test_point_density_effect_runs(self, tmp_path, rng):
+        from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+        from dl_biomass_tpu.experiments.density import point_density_effect
+
+        pos_list, feat_list = [], []
+        for _ in range(4):
+            coords, intensity, _ = synthetic_plot(rng, 400)
+            pos_list.append(coords - coords.mean(0))
+            feat_list.append(intensity[:, None].astype(np.float32))
+        y = rng.uniform(1, 50, size=(4, 4)).astype(np.float32)
+        cfg = TrainConfig(
+            hp=HyperParams(batch_size=2, num_augs=1, patience=5), num_epochs=2,
+        )
+        out_csv = tmp_path / "density.csv"
+        df = point_density_effect(
+            pos_list, feat_list, y, [f"RM_{i:03d}" for i in range(4)],
+            point_range=[100, 200], cfg=cfg, out_csv=str(out_csv),
+            log_fn=lambda s: None,
+        )
+        assert list(df["point_num"]) == [100, 200]
+        assert {"val_mse", "runtime", "clouds_per_sec", "epochs"} <= set(df.columns)
+        assert np.isfinite(df["val_mse"]).all()
+        on_disk = pd.read_csv(out_csv)
+        assert len(on_disk) == 2
+
+    def test_density_cli_hp_passthrough(self, las_dir, tmp_path, monkeypatch):
+        """--hp.* overrides must reach the ablation's training config; without
+        them the reference's alternate tuned set (cfg=None) is used."""
+        import dl_biomass_tpu.experiments.density as density_mod
+        from dl_biomass_tpu.__main__ import main
+
+        rows = [dict(PlotID=f"RM_{i:03d}", bark_btphr=1, branch_btphr=2,
+                     foliage_btphr=3, wood_btphr=4) for i in range(4)]
+        csv = tmp_path / "b.csv"
+        pd.DataFrame(rows).to_csv(csv, index=False)
+
+        captured = {}
+
+        def fake(pos_list, feat_list, y, ids, **kw):
+            captured.update(kw)
+            assert len(pos_list) == 4
+            return pd.DataFrame()
+
+        monkeypatch.setattr(density_mod, "point_density_effect", fake)
+        base = ["density", "--data.train_dir", str(las_dir),
+                "--data.biomass_csv", str(csv), "--range", "100:300:100",
+                "--out-csv", str(tmp_path / "d.csv")]
+        assert main(base) == 0
+        assert captured["cfg"] is None  # reference alternate tuned set
+
+        assert main(base + ["--hp.lr", "0.001"]) == 0
+        assert captured["cfg"] is not None
+        assert captured["cfg"].hp.lr == 0.001
+
+
 class TestCLI:
     def test_resample_command(self, las_dir, tmp_path):
         from dl_biomass_tpu.__main__ import main
