@@ -12,7 +12,13 @@ computed against a documented estimate:
   lower — it re-read the biomass CSV per sample inside __getitem__ — so this is
   a conservative baseline.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...detail}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline", ...}
+the MOMENT the two headline computations (B=36 train + eval step) are
+measured, then re-prints a superset of that line as each optional stage
+(serving engine, b16 point, bulk serving) lands — so whichever line the
+driver parses (first or last), it carries the headline, and a cold-compile
+stall in a later stage costs detail, never the number. A global deadline
+(env BENCH_DEADLINE_S, default 1500 s) skips remaining optional stages.
 """
 
 from __future__ import annotations
@@ -339,30 +345,12 @@ def _measure_point(b: int, with_engine: bool = True) -> dict:
         float(sum(losses))
         eval_dt = min(eval_dt, (time.perf_counter() - t0) / TIMED_STEPS)
 
-    # serving engine (models/inference.py): BN/bias folded into the matmuls —
-    # the path a production deployment would run.
-    # Guarded: a remote-compile-service failure on the engine's (uncached)
-    # computation must not sink the whole benchmark — fall back to _eval_step.
+    # serving engine timing lives in _measure_engine (an optional bench
+    # stage since round 4 — a cold engine compile must not delay the
+    # headline line).
     engine_dt = float("inf")
     if with_engine:
-        try:
-            from dl_biomass_tpu.models.inference import compile_inference
-
-            infer_fn = compile_inference(
-                model, {"params": state.params, "batch_stats": state.batch_stats}
-            )
-            float(jnp.sum(infer_fn(batch)))
-            for rep in range(REPEATS):
-                t0 = time.perf_counter()
-                outs = []
-                for i in range(TIMED_STEPS):
-                    outs.append(infer_fn(batch))
-                float(sum(jnp.sum(o) for o in outs))
-                engine_dt = min(engine_dt, (time.perf_counter() - t0) / TIMED_STEPS)
-        except Exception as e:  # pragma: no cover - env-dependent
-            import sys
-
-            print(f"engine path unavailable ({e}); using _eval_step", file=sys.stderr)
+        engine_dt = _measure_engine(b, model, state, batch=batch)
     return {
         "train_dt": train_dt,
         "eval_dt": eval_dt,
@@ -371,6 +359,35 @@ def _measure_point(b: int, with_engine: bool = True) -> dict:
         "_model": model,  # reused by _measure_bulk_serving (underscore keys
         "_state": state,  # are not serialized into the JSON line)
     }
+
+
+def _measure_engine(b: int, model, state, batch=None) -> float:
+    """Folded-weight serving engine (models/inference.py) seconds/step at
+    batch ``b`` — BN/bias folded into the matmuls, the flat pre-folded graph
+    a production deployment ships. Returns inf if the path is unavailable
+    (a remote-compile failure must not sink the benchmark)."""
+    engine_dt = float("inf")
+    if batch is None:
+        batch = _make_batch(np.random.default_rng(0), b, N)
+    try:
+        from dl_biomass_tpu.models.inference import compile_inference
+
+        infer_fn = compile_inference(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        float(jnp.sum(infer_fn(batch)))
+        for rep in range(REPEATS):
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(TIMED_STEPS):
+                outs.append(infer_fn(batch))
+            float(sum(jnp.sum(o) for o in outs))
+            engine_dt = min(engine_dt, (time.perf_counter() - t0) / TIMED_STEPS)
+    except Exception as e:  # pragma: no cover - env-dependent
+        import sys
+
+        print(f"engine path unavailable ({e}); using _eval_step", file=sys.stderr)
+    return engine_dt
 
 
 def _measure_bulk_serving(b: int, s: int = 8, *, model=None, state=None):
@@ -420,63 +437,150 @@ def _measure_bulk_serving(b: int, s: int = 8, *, model=None, state=None):
 
 
 def main() -> None:
+    """Headline first, extras as they land, bounded by a global deadline.
+
+    Round 3's official capture (BENCH_r03) died rc=124/parsed=null: a
+    cold-compile morning (remote compiles 15 s-5 min each, ~6 distinct
+    computations) burned the driver's whole budget before the single JSON
+    line at the end ever printed — even though the headline numbers existed
+    minutes in. The fix is structural:
+
+    1. Measure ONLY the two headline computations (B=36 train step + eval
+       step) first — they get the cold compiles — and print the headline
+       JSON line the moment they exist.
+    2. Each optional stage (serving engine, b16 point, bulk serving)
+       re-prints a SUPERSET line containing everything measured so far, so
+       whichever line the driver parses (first or last) carries the
+       headline, and a stall in any later stage can only cost detail.
+    3. A global deadline (env BENCH_DEADLINE_S, default 1500 s) skips
+       remaining optional stages — exit 0 with whatever was measured.
+    """
+    import os
+    import sys
+    import threading
+
+    t_start = time.perf_counter()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+
+    def time_left() -> float:
+        return deadline_s - (time.perf_counter() - t_start)
+
+    # Last line of defense: a transient axon-tunnel stall can park ANY device
+    # call indefinitely (observed live: the same warm-cache run completed in
+    # 5 min once and hung past 10 min minutes later). The in-line deadline
+    # checks can't fire while blocked in a C call, so a watchdog hard-exits
+    # the process at deadline+grace — exit 0 if the headline line already
+    # went out (the driver tails stdout; the number survives), else a clean
+    # nonzero instead of eating the driver's whole capture budget.
+    progress = {"headline": False, "finished": False}
+    finished = threading.Event()
+
+    def _watchdog():
+        if not finished.wait(deadline_s + 180):
+            print(
+                "FATAL: bench watchdog fired (device call stalled past "
+                f"{deadline_s:.0f}s+180s grace; axon tunnel hiccup?) — "
+                + ("headline was already printed" if progress["headline"]
+                   else "no headline was measured"),
+                file=sys.stderr, flush=True,
+            )
+            os._exit(0 if progress["headline"] else 5)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     _require_device()  # also enables the persistent compile cache
 
-    head = _measure_point(B_HEAD, with_engine=True)
-    alt = _measure_point(B, with_engine=False)
-    serve_cps = _measure_bulk_serving(
-        B_HEAD, model=head.pop("_model"), state=head.pop("_state")
-    )
-    alt.pop("_model"), alt.pop("_state")
-
+    # --- Stage A (required): the headline point. Cold compiles land HERE,
+    # on exactly the two computations the headline needs.
+    head = _measure_point(B_HEAD, with_engine=False)
     train_cps = B_HEAD / head["train_dt"]
-    infer_cps = B_HEAD / head["infer_dt"]
     value = round(train_cps, 2)
-    print(
-        json.dumps(
-            {
-                "metric": "train_clouds_per_sec_per_chip_10k_pts",
-                "value": value,
-                "unit": "clouds/s",
-                "vs_baseline": round(value / REFERENCE_GPU_CLOUDS_PER_SEC, 3),
-                "infer_clouds_per_sec": round(infer_cps, 2),
-                "train_ms_per_step": round(head["train_dt"] * 1000, 2),
-                "infer_ms_per_step": round(head["infer_dt"] * 1000, 2),
-                "infer_engine_ms": (
-                    round(head["engine_dt"] * 1000, 2)
-                    if head["engine_dt"] != float("inf") else None
-                ),
-                "infer_eval_step_ms": round(head["eval_dt"] * 1000, 2),
-                # directory-scale serving (288 clouds, one scanned dispatch,
-                # the predict CLI's path) — includes ALL dispatch overhead
-                "bulk_serve_clouds_per_sec": (
-                    round(serve_cps, 2) if serve_cps else None
-                ),
-                "batch": B_HEAD,
-                "batch_note": (
-                    "headline at the reference's own operating point "
-                    "(batch 36, main.py:41); per-step fixed cost ~1.7 ms is "
-                    "batch-invariant — the b16 block is rounds 1-2's "
-                    "reporting point for progression comparability"
-                ),
-                "b16": {
-                    "train_clouds_per_sec": round(B / alt["train_dt"], 2),
-                    "train_ms_per_step": round(alt["train_dt"] * 1000, 2),
-                    "infer_clouds_per_sec": round(B / alt["infer_dt"], 2),
-                    "infer_ms_per_step": round(alt["infer_dt"] * 1000, 2),
-                },
-                "points_per_cloud": N,
-                "device": str(jax.devices()[0]),
-                "baseline_estimate_note": "reference GPU est. 50 clouds/s (see module docstring)",
-                # the baseline is an estimate; report the break-even point so
-                # the multiple isn't hostage to a single point value
-                "baseline_sensitivity": (
-                    f"vs_baseline >= 10x holds for any reference baseline "
-                    f"<= {value / 10.0:.1f} clouds/s"
-                ),
+    result = {
+        "metric": "train_clouds_per_sec_per_chip_10k_pts",
+        "value": value,
+        "unit": "clouds/s",
+        "vs_baseline": round(value / REFERENCE_GPU_CLOUDS_PER_SEC, 3),
+        "infer_clouds_per_sec": round(B_HEAD / head["infer_dt"], 2),
+        "train_ms_per_step": round(head["train_dt"] * 1000, 2),
+        "infer_ms_per_step": round(head["infer_dt"] * 1000, 2),
+        "infer_eval_step_ms": round(head["eval_dt"] * 1000, 2),
+        "batch": B_HEAD,
+        "points_per_cloud": N,
+        "device": str(jax.devices()[0]),
+        "baseline_estimate_note": (
+            "reference GPU est. 50 clouds/s (see module docstring)"
+        ),
+        # the baseline is an estimate; report the break-even point so
+        # the multiple isn't hostage to a single point value
+        "baseline_sensitivity": (
+            f"vs_baseline >= 10x holds for any reference baseline "
+            f"<= {value / 10.0:.1f} clouds/s"
+        ),
+        "batch_note": (
+            "headline at the reference's own operating point "
+            "(batch 36, main.py:41); per-step fixed cost ~1.7 ms is "
+            "batch-invariant — the b16 block is rounds 1-2's "
+            "reporting point for progression comparability"
+        ),
+    }
+    print(json.dumps(result), flush=True)  # the line that must survive
+    progress["headline"] = True
+
+    model, state = head.pop("_model"), head.pop("_state")
+    skipped = []
+
+    # --- Stage B (optional): folded-weight serving engine at B=36.
+    if time_left() > 120:
+        try:
+            engine_dt = _measure_engine(B_HEAD, model, state)
+            if engine_dt != float("inf"):
+                result["infer_engine_ms"] = round(engine_dt * 1000, 2)
+                infer_dt = min(head["infer_dt"], engine_dt)
+                result["infer_ms_per_step"] = round(infer_dt * 1000, 2)
+                result["infer_clouds_per_sec"] = round(B_HEAD / infer_dt, 2)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"engine stage failed ({e}); continuing", file=sys.stderr)
+    else:
+        skipped.append("engine")
+
+    # --- Stage C (optional): the B=16 progression point.
+    if time_left() > 120:
+        try:
+            alt = _measure_point(B, with_engine=False)
+            alt.pop("_model"), alt.pop("_state")
+            result["b16"] = {
+                "train_clouds_per_sec": round(B / alt["train_dt"], 2),
+                "train_ms_per_step": round(alt["train_dt"] * 1000, 2),
+                "infer_clouds_per_sec": round(B / alt["infer_dt"], 2),
+                "infer_ms_per_step": round(alt["infer_dt"] * 1000, 2),
             }
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"b16 stage failed ({e}); continuing", file=sys.stderr)
+    else:
+        skipped.append("b16")
+
+    # --- Stage D (optional): directory-scale serving (288 clouds, one
+    # scanned dispatch — the predict CLI's path, ALL dispatch overhead in).
+    if time_left() > 120:
+        try:
+            serve_cps = _measure_bulk_serving(B_HEAD, model=model, state=state)
+            if serve_cps:
+                result["bulk_serve_clouds_per_sec"] = round(serve_cps, 2)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"bulk-serve stage failed ({e}); continuing", file=sys.stderr)
+    else:
+        skipped.append("bulk_serve")
+
+    if skipped:
+        result["skipped_stages"] = skipped
+        result["deadline_note"] = (
+            f"deadline {deadline_s:.0f}s reached; optional stages skipped "
+            "(headline unaffected)"
         )
-    )
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

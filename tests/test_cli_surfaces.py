@@ -1,0 +1,221 @@
+"""CLI plumb-through tests for the remaining subcommand surfaces.
+
+VERDICT r3 item 5: the density ``--hp.*`` bug (flag parsed but never
+plumbed into the training config) survived two rounds because only
+train/predict had CLI-level tests. Every subcommand here runs through the
+real entry (``dl_biomass_tpu.__main__.main``) on a tiny corpus and asserts
+the flags actually reached the config / the written artifacts — not just
+that the command exited 0.
+
+Reference surfaces covered: ``hyperparameter_tuning.py:26-63`` (tune),
+``downsampling_point_clouds.py:243-257`` (resample), ``testing_model.py:
+332-342`` (evaluate), plus the vmapped sweep and parity-record/check
+commands this framework adds.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dl_biomass_tpu.__main__ import main
+from dl_biomass_tpu.io.reader import write_las
+from dl_biomass_tpu.io.synthetic import synthetic_plot
+
+N = 256  # points per presampled plot
+
+
+def _biomass_rows(ids, rng):
+    return [
+        dict(PlotID=pid, bark_btphr=float(rng.uniform(1, 5)),
+             branch_btphr=float(rng.uniform(1, 5)),
+             foliage_btphr=float(rng.uniform(1, 5)),
+             wood_btphr=float(rng.uniform(5, 20)))
+        for pid in ids
+    ]
+
+
+@pytest.fixture(scope="module")
+def presampled_corpus(tmp_path_factory):
+    """train/val/test dirs of presampled LAS (suffix ``_fps_7168``) + CSV."""
+    root = tmp_path_factory.mktemp("presampled")
+    rng = np.random.default_rng(7)
+    rows = []
+    for split, count in (("train", 6), ("val", 3), ("test", 3)):
+        os.makedirs(root / split)
+        for _ in range(count):
+            i = len(rows)
+            coords, intensity, _ = synthetic_plot(rng, N)
+            inorm = (intensity - intensity.min()) / max(float(np.ptp(intensity)), 1) * 20
+            pid = f"RM_{i:03d}"
+            write_las(coords - coords.mean(axis=0),
+                      str(root / split / f"{pid}_fps_7168.las"),
+                      {"intensity_normalized": inorm.astype(np.float32)})
+            rows.append(pid)
+    pd.DataFrame(_biomass_rows(rows, rng)).to_csv(root / "biomass.csv", index=False)
+    return root
+
+
+@pytest.fixture(scope="module")
+def raw_corpus(tmp_path_factory):
+    """Raw LAS plots (uint16 intensity, uncentered) + biomass CSV."""
+    root = tmp_path_factory.mktemp("raw")
+    rng = np.random.default_rng(11)
+    ids = []
+    for i in range(4):
+        coords, intensity, _ = synthetic_plot(rng, 400)
+        pid = f"RM_{i:03d}"
+        write_las(coords, str(root / f"{pid}.las"),
+                  {"intensity": intensity.astype(np.uint16)})
+        ids.append(pid)
+    pd.DataFrame(_biomass_rows(ids, rng)).to_csv(root / "biomass.csv", index=False)
+    return root
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """A saved (untrained-init) checkpoint matching the presampled corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from dl_biomass_tpu.core.cloud import CloudBatch
+    from dl_biomass_tpu.core.config import HyperParams, TrainConfig
+    from dl_biomass_tpu.models.pointnet2 import build_model, model_to_dict
+    from dl_biomass_tpu.train.checkpoint import save_checkpoint
+    from dl_biomass_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(3)
+    cfg = TrainConfig(hp=HyperParams(batch_size=2, num_points=N))
+    cfg.model.compute_dtype = "float32"
+    model = build_model(cfg, num_features=1)
+    trainer = Trainer(model, cfg)
+    batch = CloudBatch(
+        pos=jnp.asarray(rng.normal(size=(2, N, 3)), jnp.float32),
+        feat=jnp.asarray(rng.normal(size=(2, N, 1)), jnp.float32),
+        mask=jnp.ones((2, N), bool),
+        y=jnp.zeros((2, 4), jnp.float32),
+    )
+    state = trainer.init_state(jax.random.key(0), batch)
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    save_checkpoint(ckpt_dir, state, epoch=0, val_mse=1.0)
+    with open(os.path.join(ckpt_dir, "model_config.json"), "w") as f:
+        json.dump({"model": model_to_dict(model), "train": cfg.to_dict()}, f)
+    return ckpt_dir
+
+
+@pytest.mark.slow  # two real (tiny) training trials through the TPE study
+def test_tune_cli_plumb_through(presampled_corpus, tmp_path):
+    from dl_biomass_tpu.sweep import load_study
+
+    study_out = str(tmp_path / "studies" / "tune.json")
+    rc = main([
+        "tune",
+        "--data.train_dir", str(presampled_corpus / "train"),
+        "--data.val_dir", str(presampled_corpus / "val"),
+        "--data.biomass_csv", str(presampled_corpus / "biomass.csv"),
+        "--model.compute_dtype", "float32",
+        "--n-trials", "2", "--max-epochs", "2", "--no-pruning",
+        "--study-out", study_out,
+    ])
+    assert rc == 0
+    # --study-out reached the persistence layer
+    assert os.path.exists(study_out)
+    trials_csv = os.path.splitext(study_out)[0] + "_trials.csv"
+    tdf = pd.read_csv(trials_csv)
+    # --n-trials reached study.optimize
+    assert len(tdf) == 2
+    assert np.isfinite(tdf["value"]).all()
+    # the search space is the reference's (hyperparameter_tuning.py:60-63)
+    assert ((tdf["params_lr"] >= 1e-6) & (tdf["params_lr"] <= 1e-1)).all()
+    assert (tdf["params_batch_size"] % 4 == 0).all()
+    # --max-epochs bounded every trial's epoch loop
+    study = load_study(study_out)
+    for t in study.trials:
+        assert 1 <= len(t.intermediate_values) <= 2
+
+
+@pytest.mark.slow  # one vmapped 2-trial grid with real epochs
+def test_sweep_cli_plumb_through(presampled_corpus, tmp_path):
+    study_out = str(tmp_path / "sw" / "sweep.json")
+    rc = main([
+        "sweep",
+        "--data.train_dir", str(presampled_corpus / "train"),
+        "--data.val_dir", str(presampled_corpus / "val"),
+        "--data.biomass_csv", str(presampled_corpus / "biomass.csv"),
+        "--model.compute_dtype", "float32",
+        "--hp.num_augs", "0",
+        "--lrs", "1e-3,1e-2", "--wds", "5e-5", "--batch-sizes", "3",
+        "--num-epochs", "2", "--study-out", study_out,
+    ])
+    assert rc == 0
+    tdf = pd.read_csv(os.path.splitext(study_out)[0] + "_trials.csv")
+    # --lrs/--wds/--batch-sizes define the grid the sweep actually ran
+    # (values round-trip through float32 inside the vmapped sweep)
+    np.testing.assert_allclose(sorted(tdf["params_lr"]), [1e-3, 1e-2], rtol=1e-5)
+    np.testing.assert_allclose(tdf["params_weight_decay"], 5e-5, rtol=1e-5)
+    assert set(tdf["params_batch_size"]) == {3}
+    assert np.isfinite(tdf["value"]).all()
+
+
+def test_evaluate_cli_plumb_through(presampled_corpus, checkpoint, tmp_path, capsys):
+    fig_dir = str(tmp_path / "figs")
+    rc = main([
+        "evaluate",
+        "--model-dir", checkpoint,
+        "--fig-out-dir", fig_dir,
+        "--data.test_dir", str(presampled_corpus / "test"),
+        "--data.biomass_csv", str(presampled_corpus / "biomass.csv"),
+        "--hp.num_points", str(N),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the metrics table printed (testing_model.py:91-100 parity surface)
+    assert "r2" in out and "tree_btphr" in out
+    # --fig-out-dir reached the plot suite
+    assert os.path.exists(os.path.join(fig_dir, "tree_btphr_obs_vs_pred.png"))
+
+
+def test_resample_cli_plumb_through(raw_corpus, tmp_path):
+    out_dir = tmp_path / "res"
+    rc = main([
+        "resample", "--in-dir", str(raw_corpus), "--out-dir", str(out_dir),
+        "--num-points", "64", "--method", "fps", "--format", "las",
+        "--engine", "numpy",
+    ])
+    assert rc == 0
+    # --method/--num-points are in the artifact names; --format made LAS
+    files = sorted(out_dir.glob("*_fps_64.las"))
+    assert len(files) == 4
+    from dl_biomass_tpu.io.reader import read_las
+
+    coords, attrs = read_las(str(files[0]), get_attributes=True, filter_height=0)
+    # --num-points reached the sampler; the resampler writes the normalized
+    # intensity as an extra dim (downsampling_point_clouds.py:95-125 parity)
+    assert coords.shape == (64, 3)
+    assert "intensity_normalized" in attrs
+    # FPS output is centered (downsampling_point_clouds.py:168)
+    np.testing.assert_allclose(coords.mean(axis=0), 0.0, atol=1e-3)
+
+
+def test_parity_record_then_check_cli(raw_corpus, tmp_path, capsys):
+    rec_path = str(tmp_path / "rec" / "parity.json")
+    rc = main([
+        "parity-record", "--data-dir", str(raw_corpus),
+        "--biomass-csv", str(raw_corpus / "biomass.csv"),
+        "--out", rec_path, "--num-points", "128",
+    ])
+    assert rc == 0
+    with open(rec_path) as f:
+        rec = json.load(f)
+    # --num-points reached the recorded pipeline; all plots recorded
+    assert rec["num_points"] == 128
+    assert len(rec["predictions"]) == 4
+    rc = main([
+        "parity-check", "--data-dir", str(raw_corpus),
+        "--biomass-csv", str(raw_corpus / "biomass.csv"),
+        "--recorded", rec_path,
+    ])
+    assert rc == 0
+    assert "parity OK" in capsys.readouterr().out
