@@ -71,6 +71,12 @@ class ModelConfig:
     exact_selection: bool = False  # exact first-K ball query everywhere
     # (torch_cluster semantics, reference pointnet2_regressor.py:14-15);
     # normally set via apply_parity()
+    split_first_layer: bool = True  # per-POINT first MLP layer on the SA2
+    # MXU-gather path: layer 0 is linear in [x_j, p_j - p_i], so it computes
+    # once per point before the gather; the gather then moves the
+    # lane-aligned bf16 z-table (no rel-pos edge tensor, no concat, no f32
+    # aux mantissa passes). Exact linear algebra — fp reassociation only
+    # (models/pointnet2.py SAModule.split_first_layer)
     analytic_bn: bool = False  # folded-BN MLPs: derive train-mode BN stats
     # analytically from input moments (one MXU matmul) and fold the normalize
     # into the producing matmul — 3R+2W -> 2R+1W of edge-tensor HBM traffic

@@ -213,15 +213,43 @@ def compile_inference(model, variables, fused_eval: bool = False,
         c2 = gather_points(c1, idx2)
         cm2 = jnp.take_along_axis(cm1, idx2, axis=1)
         nidx, nm = _bq(c2, cm2, c1, cm1, r2)
-        if model.use_pallas and c1.shape[1] <= 4096:
+        if (model.split_first_layer and model.use_pallas
+                and c1.shape[1] <= 4096):
+            # per-point first layer (mirrors SAModule.split_first_layer):
+            # folded layer 0 is linear in [h1_j, c1_j - c2_i], so compute it
+            # once per point, gather the lane-aligned z-table, and shift by
+            # the centroid term — no rel tensor, no concat, no f32 aux
+            # mantissa passes
             from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
 
-            gfeat, gpos = mxu_gather(h1, nidx, aux=c1)
+            w0, b0 = sa2_layers[0]
+            fdim = h1.shape[-1]
+            zpt = (
+                jnp.dot(h1.astype(ct), w0[:fdim].astype(ct),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(c1.astype(ct), w0[fdim:].astype(ct),
+                          preferred_element_type=jnp.float32)
+                + b0
+            ).astype(ct)
+            gz = mxu_gather(zpt, nidx)
+            cshift = jnp.dot(c2.astype(ct), w0[fdim:].astype(ct),
+                             preferred_element_type=jnp.float32)
+            z0 = jnp.maximum(  # layer 0 is hidden: ReLU applies
+                gz.astype(jnp.float32) - cshift[:, :, None, :], 0.0
+            ).astype(ct)
+            h2 = masked_max(
+                _run_folded(z0, sa2_layers[1:], compute_dtype=ct), nm, axis=2
+            )
         else:
-            gfeat, gpos = gather_points(h1, nidx), gather_points(c1, nidx)
-        rel = gpos - c2[:, :, None, :]
-        e = jnp.where(nm[..., None], jnp.concatenate([gfeat, rel], axis=-1), 0.0)
-        h2 = masked_max(_run_folded(e, sa2_layers, compute_dtype=ct), nm, axis=2)
+            if model.use_pallas and c1.shape[1] <= 4096:
+                from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
+
+                gfeat, gpos = mxu_gather(h1, nidx, aux=c1)
+            else:
+                gfeat, gpos = gather_points(h1, nidx), gather_points(c1, nidx)
+            rel = gpos - c2[:, :, None, :]
+            e = jnp.where(nm[..., None], jnp.concatenate([gfeat, rel], axis=-1), 0.0)
+            h2 = masked_max(_run_folded(e, sa2_layers, compute_dtype=ct), nm, axis=2)
 
         g = jnp.concatenate([h2, c2], axis=-1)
         h3 = masked_max(_run_folded(g, sa3_layers, compute_dtype=ct), cm2, axis=1)

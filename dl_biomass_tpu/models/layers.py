@@ -186,27 +186,68 @@ class MLP(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     analytic_bn: bool = False
 
-    @nn.compact
+    def setup(self):
+        # setup-based (not @nn.compact) so callers can reach layer 0's
+        # parameters without running the stack — the per-point first-layer
+        # split in SAModule (split_first_layer) applies layer 0 itself and
+        # re-enters via from_z0. Attribute names keep the compact-era param
+        # tree (lin0/bn0/...), so existing checkpoints load unchanged.
+        chans = list(self.channels)
+        for i, w in enumerate(chans[1:]):
+            setattr(self, f"lin{i}", Dense(
+                w, in_features=chans[i], compute_dtype=self.compute_dtype))
+        for i, w in enumerate(chans[1:-1]):
+            setattr(self, f"bn{i}", MaskedBatchNorm(num_features=w))
+        if self.dropout > 0.0:
+            self.drop = nn.Dropout(self.dropout)
+
+    def _layers(self):
+        n = len(self.channels) - 1
+        return ([getattr(self, f"lin{i}") for i in range(n)],
+                [getattr(self, f"bn{i}") for i in range(n - 1)])
+
+    def first_dense(self) -> Dense:
+        """Layer 0's Dense — for callers that apply layer 0 themselves (the
+        per-point split in SAModule); the param tree stays identical."""
+        return self.lin0
+
+    def _post(self, x, bn, mask, act, train):
+        x = bn(x, mask, use_running_average=not train)
+        if act is not None:
+            x = act(x)
+        if self.dropout > 0.0:
+            x = self.drop(x, deterministic=not train)
+        return x
+
     def __call__(self, x, mask=None, train: bool = False):
         # ``train`` is positional-friendly so nn.remat can mark it static
         act = resolve_activation(self.act)
-        chans = list(self.channels)
-        lins = [
-            Dense(w, in_features=chans[i], compute_dtype=self.compute_dtype, name=f"lin{i}")
-            for i, w in enumerate(chans[1:])
-        ]
-        bns = [MaskedBatchNorm(num_features=w, name=f"bn{i}") for i, w in enumerate(chans[1:-1])]
+        lins, bns = self._layers()
 
         if self.analytic_bn:
             return self._folded(x, mask, lins, bns, act, train)
 
         for lin, bn in zip(lins[:-1], bns):
-            x = lin(x)
-            x = bn(x, mask, use_running_average=not train)
-            if act is not None:
-                x = act(x)
-            if self.dropout > 0.0:
-                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = self._post(lin(x), bn, mask, act, train)
+        return lins[-1](x)
+
+    def from_z0(self, z0, mask=None, train: bool = False):
+        """Continue the stack from layer 0's PRE-BN output ``z0`` (x @ W0 +
+        b0, already computed by the caller — see SAModule's per-point
+        first-layer split). Identical math to ``__call__`` given the same
+        z0; layer 0's parameters still live in this module's tree."""
+        if self.analytic_bn:
+            raise ValueError(
+                "from_z0 is incompatible with analytic_bn (folded BN derives "
+                "statistics from layer INPUT moments; z0 is the output)"
+            )
+        act = resolve_activation(self.act)
+        lins, bns = self._layers()
+        if not bns:  # single-linear MLP: z0 IS the final output
+            return z0
+        x = self._post(z0, bns[0], mask, act, train)
+        for lin, bn in zip(lins[1:-1], bns[1:]):
+            x = self._post(lin(x), bn, mask, act, train)
         return lins[-1](x)
 
     def _folded(self, x, mask, lins, bns, act, train):

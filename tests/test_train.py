@@ -239,3 +239,69 @@ class TestEndToEnd:
         assert meta["epoch"] == 3 and meta["val_mse"] == 1.5
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestKeyDomainSeparation:
+    """Regression guard for the diverged exact-FPS seed-study row.
+
+    seed_study_r3.json (mode=production, seed=1) recorded a training run
+    whose val MSE never descended. The run predates the PRNG
+    domain-separation fix: per-batch augmentation keys were derived
+    fold_in(key, b0), colliding with the trainer's per-step fold_in(key, i)
+    at step 0 — augmentation draws exactly correlated with the same step's
+    dropout draw, every epoch. tools/fps_divergence_probe.py reran the row
+    on the chip at HEAD: it converges (val 27.8, R2 0.918), and it also
+    converges with the collision deliberately reintroduced — the pathology
+    needed the OLD augmentation draw path too (since replaced by the
+    one-shared-permutation chain). These tests pin both repairs."""
+
+    def test_aug_keys_never_collide_with_step_keys(self):
+        from dl_biomass_tpu.io.device_data import AUG_KEY_DOMAIN
+
+        key = jax.random.key(7)
+        ds = DeviceDataset.from_clouds(
+            *synthetic_dataset(8, 64, seed=0), base_n=64
+        )
+        akeys = [
+            jax.random.key_data(ak)
+            for _, _, _, ak in ds.epoch_specs(2, key=key, num_augs=1, shuffle=True)
+        ]
+        step_keys = [
+            jax.random.key_data(jax.random.fold_in(key, i))
+            for i in range(len(akeys))
+        ]
+        for i, ak in enumerate(akeys):
+            for sk in step_keys:
+                assert not np.array_equal(np.asarray(ak), np.asarray(sk)), (
+                    f"aug key of step {i} collides with a per-step train key "
+                    "(pre-domain-separation derivation)"
+                )
+        # and the domain tag actually does something
+        assert not np.array_equal(
+            np.asarray(jax.random.key_data(jax.random.fold_in(key, AUG_KEY_DOMAIN))),
+            np.asarray(jax.random.key_data(key)),
+        )
+
+    def test_exact_fps_production_config_descends(self, tmp_path):
+        """The exact-FPS production combination (fast_fps=False, bf16,
+        stratified SA1) is a supported configuration — training on it must
+        descend, not silently diverge."""
+        plots, n, batch = 8, 128, 4
+        pos, feat, y, ids = synthetic_dataset(plots, n, seed=0)
+        ds = DeviceDataset.from_clouds(pos, feat, y, ids, base_n=n)
+        cfg = TrainConfig(hp=HyperParams(batch_size=batch, num_augs=1,
+                                         patience=5, lr=3e-3))
+        cfg.model.fast_fps = False  # exact sequential FPS
+        from dl_biomass_tpu.models.pointnet2 import build_model
+
+        model = build_model(cfg, num_features=1)
+        trainer = Trainer(model, cfg)
+        key = jax.random.key(1)
+        state = trainer.init_state(key, next(ds.batches(batch)))
+        hist = trainer.fit(
+            state, ds, ds, key=key, num_epochs=4,
+            csv_path=str(tmp_path / "log.csv"), log_fn=lambda s: None,
+        )
+        assert np.isfinite(hist["train_mse"]).all()
+        assert np.isfinite(hist["val_mse"]).all()
+        assert hist["train_mse"][-1] < hist["train_mse"][0]
