@@ -41,6 +41,10 @@ class ModelConfig:
     # MinkowskiEngine probe, rebuilt as a dense voxel CNN — models/voxelnet.py)
     voxel_grid: int = 32  # voxelnet: voxels per axis
     voxel_extent: float = 0.0  # voxelnet: cube half-width; 0 = per-cloud
+    voxel_channels: List[int] = field(default_factory=lambda: [64, 128])
+    # voxelnet conv widths (stride 2 each); (64, 128) is the probe's exact
+    # stack (Minkowski_Main_V1.py:9-29) — deeper/wider stacks are the
+    # round-4 capacity probe
     sa1_ratio: float = 0.2
     sa1_radius: float = 2.0
     sa2_ratio: float = 0.25

@@ -48,6 +48,19 @@ def _mode_config(base: TrainConfig, mode: str) -> TrainConfig:
         # the voxel-grid CNN family (models/voxelnet.py) on the same corpus
         cfg.model.family = "voxelnet"
         return cfg
+    if mode == "voxelnet_deep":
+        # round-4 capacity probe (VERDICT r3 item 6): one deeper conv stack
+        # to ask whether the family's accuracy gap to the flagship is
+        # architecture or capacity
+        cfg.model.family = "voxelnet"
+        cfg.model.voxel_channels = [64, 128, 256]
+        return cfg
+    if mode == "voxelnet_wide48":
+        # capacity probe, resolution axis: finer grid + wider convs
+        cfg.model.family = "voxelnet"
+        cfg.model.voxel_grid = 48
+        cfg.model.voxel_channels = [96, 192]
+        return cfg
     raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -84,6 +84,16 @@ def compile_inference(model, variables, fused_eval: bool = False,
                       mesh=None) -> Callable:
     """Returns a jitted ``fn(batch) -> (B, num_outputs)`` serving function.
 
+    What this buys is OPERATIONAL, not speed: measured head-to-head the
+    folded chain ties the trainer's ``_eval_step`` at B in {1, 16, 36}
+    (docs/SERVING.md round-4 adjudication — XLA folds eval-mode BN on its
+    own just as well). The engine's value is the flat pre-folded graph
+    whose compiled executable is keyed on the graph alone (weights are
+    runtime ARGUMENTS — a new checkpoint or process at the same shapes
+    reuses the persistent compile cache with zero recompile), target-free
+    serving without a Trainer, and being the basis of the AOT export
+    (models/export.py).
+
     ``fused_eval=True`` runs SA1 as ONE fused Pallas kernel (selection +
     capture + folded MLP + max, ops/pallas_sa_eval.py). Off by default on
     measurement: it ties the folded-XLA chain at B=16 (18.4 vs 18.7 ms) and

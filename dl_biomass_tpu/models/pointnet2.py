@@ -438,6 +438,7 @@ def build_model(cfg, num_features: int):
             num_features=num_features,
             grid=mc.voxel_grid,
             extent=mc.voxel_extent,
+            channels=tuple(getattr(mc, "voxel_channels", (64, 128))),
             activation_function=hp.activation_function,
             compute_dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
         )
