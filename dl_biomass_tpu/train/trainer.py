@@ -415,6 +415,20 @@ class Trainer:
         ``cfg.hp.batch_size`` / ``cfg.hp.num_augs``.
         """
         cfg = self.cfg
+        # the train steps DONATE the incoming state's buffers; a state that
+        # already went through a fit/step is a stale handle whose reuse
+        # surfaces as an opaque backend INVALID_ARGUMENT at the next host
+        # read — fail here with the actual story instead
+        deleted = [
+            leaf for leaf in jax.tree.leaves(state.params)
+            if hasattr(leaf, "is_deleted") and leaf.is_deleted()
+        ]
+        if deleted:
+            raise ValueError(
+                "fit() received a state whose buffers were already donated "
+                "(consumed by a previous fit/train step). Pass a fresh "
+                "init_state(...) or the previous run's hist['best_state']."
+            )
         train_ds = train_batches_fn if hasattr(train_batches_fn, "epoch_specs") else None
         val_ds = val_batches_fn if hasattr(val_batches_fn, "epoch_specs") else None
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs

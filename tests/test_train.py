@@ -305,3 +305,14 @@ class TestKeyDomainSeparation:
         assert np.isfinite(hist["train_mse"]).all()
         assert np.isfinite(hist["val_mse"]).all()
         assert hist["train_mse"][-1] < hist["train_mse"][0]
+
+    def test_fit_rejects_donated_state(self, tmp_path):
+        """The train steps donate the incoming state's buffers; reusing a
+        consumed state must raise a clear ValueError, not an opaque backend
+        INVALID_ARGUMENT at the next host read."""
+        ds, cfg, trainer = small_setup()
+        key = jax.random.key(0)
+        state = trainer.init_state(key, next(ds.batches(cfg.hp.batch_size)))
+        trainer.fit(state, ds, ds, key=key, num_epochs=1, log_fn=lambda s: None)
+        with pytest.raises(ValueError, match="donated"):
+            trainer.fit(state, ds, ds, key=key, num_epochs=1, log_fn=lambda s: None)
