@@ -249,21 +249,25 @@ def bench_config4() -> None:
     rows = {}
     for n_raw in (1024, 5120, 10240, 51200):
         clouds = [rng.normal(size=(n_raw, 3)).astype(np.float64) * 5 for _ in range(b)]
-        t0 = time.perf_counter()
-        pos = np.zeros((b, n_model, 3), np.float32)
-        msk = np.zeros((b, n_model), bool)
-        for i, c in enumerate(clouds):
-            kept = c[voxel_downsample(c, 0.35)] if n_raw > n_model else c
-            kept = kept[:n_model]
-            pos[i, : len(kept)] = kept
-            msk[i, : len(kept)] = True
-        batch = CloudBatch(
-            pos=jnp.asarray(pos), feat=jnp.asarray(pos[..., :1] * 0),
-            mask=jnp.asarray(msk), y=jnp.zeros((b, 4), jnp.float32),
-        )
-        loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
-        float(loss)
-        dt = time.perf_counter() - t0  # downsample + pack + infer, hard-synced
+        # best-of-3: the host side (1-CPU box + tunnel transfer) carries real
+        # run-to-run noise — single-shot rows swung 2x between round-4 runs
+        dt = float("inf")
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            pos = np.zeros((b, n_model, 3), np.float32)
+            msk = np.zeros((b, n_model), bool)
+            for i, c in enumerate(clouds):
+                kept = c[voxel_downsample(c, 0.35)] if n_raw > n_model else c
+                kept = kept[:n_model]
+                pos[i, : len(kept)] = kept
+                msk[i, : len(kept)] = True
+            batch = CloudBatch(
+                pos=jnp.asarray(pos), feat=jnp.asarray(pos[..., :1] * 0),
+                mask=jnp.asarray(msk), y=jnp.zeros((b, 4), jnp.float32),
+            )
+            loss, out = trainer._eval_step(state.params, state.batch_stats, batch)
+            float(loss)
+            dt = min(dt, time.perf_counter() - t0)  # downsample+pack+infer, synced
         rows[str(n_raw)] = {
             "clouds_per_sec": round(b / dt, 2),
             "end_to_end_ms_per_batch8": round(dt * 1000, 2),
