@@ -213,7 +213,17 @@ def _coerce(raw: str, old: Any) -> Any:
     if isinstance(old, float):
         return float(raw)
     if isinstance(old, list):
-        return [s for s in raw.split(",") if s]
+        items = [s for s in raw.split(",") if s]
+        # coerce element type from the existing default (e.g. voxel_channels
+        # is List[int]: "--model.voxel_channels 64,128,256" must not land as
+        # strings); an empty default stays a string list
+        if old and isinstance(old[0], bool):
+            return [s.lower() in ("1", "true", "yes", "on") for s in items]
+        if old and isinstance(old[0], int):
+            return [int(s) for s in items]
+        if old and isinstance(old[0], float):
+            return [float(s) for s in items]
+        return items
     return raw
 
 

@@ -99,3 +99,16 @@ class TestProductionDefaults:
         # reference's committed best trial (main.py:38-48)
         assert cfg.hp.num_points == 7168 and cfg.hp.batch_size == 36
         assert cfg.hp.num_augs == 10 and cfg.hp.patience == 10
+
+
+def test_list_overrides_coerce_element_type():
+    """List-typed overrides inherit their element type from the default:
+    voxel_channels (List[int]) must not land as strings."""
+    from dl_biomass_tpu.core.config import TrainConfig
+
+    cfg = TrainConfig().with_overrides(["--model.voxel_channels", "64,128,256"])
+    assert cfg.model.voxel_channels == [64, 128, 256]
+    cfg = TrainConfig().with_overrides(["--data.use_datasets", "BC,RM"])
+    assert cfg.data.use_datasets == ["BC", "RM"]
+    cfg = TrainConfig().with_overrides(["--data.use_columns", ""])
+    assert cfg.data.use_columns == []
