@@ -244,8 +244,11 @@ def compile_inference(model, variables, fused_eval: bool = False,
             gz = mxu_gather(zpt, nidx)
             cshift = jnp.dot(c2.astype(ct), w0[fdim:].astype(ct),
                              preferred_element_type=jnp.float32)
+            # subtract + ReLU in compute dtype: an f32 upcast here doubles
+            # the biggest split-path fusion's traffic (same discipline as
+            # SAModule's split path)
             z0 = jnp.maximum(  # layer 0 is hidden: ReLU applies
-                gz.astype(jnp.float32) - cshift[:, :, None, :], 0.0
+                gz - cshift[:, :, None, :].astype(gz.dtype), 0.0
             ).astype(ct)
             h2 = masked_max(
                 _run_folded(z0, sa2_layers[1:], compute_dtype=ct), nm, axis=2

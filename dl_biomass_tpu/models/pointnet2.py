@@ -206,7 +206,11 @@ class SAModule(nn.Module):
                     gz = mxu_gather(zpt, nbr_idx)
                     cshift = jnp.dot(centers.astype(cdt), wp.astype(cdt),
                                      preferred_element_type=acc)
-                    z0 = (gz.astype(acc) - cshift[:, :, None, :]).astype(cdt)
+                    # subtract in compute dtype: upcasting gz to f32 here
+                    # doubles the biggest split-path fusion's traffic; the
+                    # extra bf16 rounding of cshift is within the path's
+                    # envelope (parity pinned in TestSplitFirstLayer)
+                    z0 = gz - cshift[:, :, None, :].astype(gz.dtype)
                     h = mlp.from_z0(z0, nbr_mask, train)
                     return masked_max(h, nbr_mask, axis=2)
                 if use_mxu:
