@@ -97,7 +97,11 @@ class SAModule(nn.Module):
         centers = gather_points(pos, idx)
         center_mask = jnp.take_along_axis(mask, idx, axis=1)
 
-        mlp_cls = nn.remat(MLP, static_argnums=(3,)) if self.remat else MLP
+        # remat wraps from_z0 too, so the split path keeps working (and its
+        # speedup) for memory-bound large-batch runs that enable remat
+        mlp_cls = (nn.remat(MLP, static_argnums=(3,),
+                            methods=["__call__", "from_z0"])
+                   if self.remat else MLP)
         use_fused_sa = (
             self.fused_sa
             and self.use_pallas
@@ -172,7 +176,6 @@ class SAModule(nn.Module):
                     and use_mxu
                     and not use_fused_sa
                     and not self.analytic_bn
-                    and not self.remat  # from_z0 bypasses the remat wrapper
                 )
                 if use_split:
                     from dl_biomass_tpu.ops.pallas_mxu_gather import mxu_gather
@@ -185,7 +188,7 @@ class SAModule(nn.Module):
                     # feat+aux-pos, and no rel/concat edge tensors exist.
                     # Same math as MLP's layer 0 (Dense numerics mirrored:
                     # compute-dtype matmuls, f32 accumulation).
-                    mlp = MLP(
+                    mlp = mlp_cls(
                         self.mlp_channels, act=self.act,
                         compute_dtype=self.compute_dtype,
                         analytic_bn=self.analytic_bn,

@@ -188,3 +188,29 @@ class TestSplitFirstLayer:
                 continue
             np.testing.assert_allclose(np.asarray(a) / scale, b_np / scale,
                                        rtol=2e-2, atol=2e-2)
+
+    def test_split_works_under_remat(self):
+        """remat wraps from_z0 too: the split path stays active (and exact)
+        for memory-bound runs that enable rematerialization."""
+        batch = make_batch(b=2, n=256)
+        m_split = PointNet2Regressor(num_features=1, compute_dtype=jnp.float32,
+                                     use_pallas=True, split_first_layer=True,
+                                     remat=True)
+        m_plain = PointNet2Regressor(num_features=1, compute_dtype=jnp.float32,
+                                     use_pallas=True, split_first_layer=True,
+                                     remat=False)
+        v = init_model(m_split, batch)
+        out_r = m_split.apply(v, batch, train=False)
+        out_p = m_plain.apply(v, batch, train=False)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                                   rtol=1e-5, atol=1e-5)
+        # grads flow through the remat-wrapped from_z0
+        def loss(p):
+            out = m_split.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, batch,
+                train=True, mutable=["batch_stats"],
+                rngs={"fps": jax.random.key(3), "dropout": jax.random.key(4)},
+            )[0]
+            return jnp.sum(out ** 2)
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
