@@ -515,6 +515,12 @@ def cmd_seed_study(argv):
     p.add_argument("--num-plots", type=int, default=288)
     p.add_argument("--num-points", type=int, default=4096)
     p.add_argument("--max-epochs", type=int, default=40)
+    # harness HP knobs (run_seed_study's training config; defaults mirror its
+    # signature so omitting them is behavior-identical)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-augs", type=int, default=3)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--patience", type=int, default=8)
     p.add_argument("--out", default="seed_study.json")
     args = p.parse_args(argv)
 
@@ -523,6 +529,8 @@ def cmd_seed_study(argv):
     run_seed_study(
         list(range(args.seeds)), args.modes.split(","),
         num_plots=args.num_plots, n_points=args.num_points,
+        batch_size=args.batch_size, num_augs=args.num_augs,
+        lr=args.lr, patience=args.patience,
         max_epochs=args.max_epochs, out_json=args.out,
     )
     print(f"wrote {args.out}")

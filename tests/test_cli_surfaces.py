@@ -219,3 +219,34 @@ def test_parity_record_then_check_cli(raw_corpus, tmp_path, capsys):
     ])
     assert rc == 0
     assert "parity OK" in capsys.readouterr().out
+
+
+def test_seed_study_cli_plumb_through(tmp_path):
+    """VERDICT r4 item 6: every flag must reach the harness config AND the
+    output JSON (the last subcommand without a plumb-through test)."""
+    out = str(tmp_path / "study.json")
+    rc = main([
+        "seed-study", "--seeds", "2", "--modes", "production+fast_fps",
+        "--num-plots", "12", "--num-points", "128", "--max-epochs", "2",
+        "--batch-size", "4", "--num-augs", "1", "--lr", "0.005",
+        "--patience", "1", "--out", out,
+    ])
+    assert rc == 0
+    with open(out) as f:
+        study = json.load(f)
+    cfg = study["config"]
+    # every CLI flag must be echoed by the harness config it configured
+    assert cfg["seeds"] == [0, 1]
+    assert cfg["modes"] == ["production+fast_fps"]
+    assert cfg["num_plots"] == 12
+    assert cfg["n_points"] == 128
+    assert cfg["max_epochs"] == 2
+    assert cfg["batch_size"] == 4
+    assert cfg["num_augs"] == 1
+    assert cfg["lr"] == 0.005
+    assert cfg["patience"] == 1
+    # the runs actually executed under those settings
+    assert len(study["runs"]) == 2
+    assert {r["mode"] for r in study["runs"]} == {"production+fast_fps"}
+    assert all(r["epochs"] <= 2 for r in study["runs"])
+    assert "production+fast_fps" in study["summary"]
