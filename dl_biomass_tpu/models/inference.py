@@ -241,6 +241,14 @@ def compile_inference(model, variables, fused_eval: bool = False,
                           preferred_element_type=jnp.float32)
                 + b0
             ).astype(ct)
+            # INVARIANT (no jnp.where zeroing here, unlike the unsplit
+            # branch): ball-query pad slots carry index 0, so the one-hot
+            # gather returns point 0's FINITE z row for masked slots, and
+            # masked_max excludes them via nm. Any change to ball_query's
+            # padding semantics (e.g. out-of-range pad indices -> all-zero
+            # one-hot rows are also finite) must keep gathered pad rows
+            # finite or re-add the masking (see tests/test_mxu_gather.py
+            # TestPadRowFiniteness).
             gz = mxu_gather(zpt, nidx)
             cshift = jnp.dot(c2.astype(ct), w0[fdim:].astype(ct),
                              preferred_element_type=jnp.float32)

@@ -76,3 +76,32 @@ class TestMXUGather:
         idx = jnp.zeros((1, 4, 32), jnp.int32)
         with pytest.raises(ValueError, match="K=64"):
             mxu_gather(vals, idx, interpret=True)
+
+
+class TestPadRowFiniteness:
+    """Pins the split-path invariant (models/inference.py, SAModule split):
+    rows gathered at ball-query PAD slots must be FINITE — the consumers
+    skip the jnp.where zeroing and rely on masked_max exclusion alone."""
+
+    def test_index_zero_pad_rows_are_finite(self, rng):
+        b, n, m, k, c = 2, 256, 20, 64, 96
+        vals = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+        # ball_query pads masked slots with index 0 (ops/pallas_ballquery
+        # returns where(nbr_mask, out, 0)) — every row must be point 0's row
+        idx = jnp.zeros((b, m, k), jnp.int32)
+        out = np.asarray(mxu_gather(vals, idx, interpret=True))
+        assert np.isfinite(out).all()
+        want = np.broadcast_to(
+            np.asarray(vals)[:, 0][:, None, None, :], (b, m, k, c))
+        np.testing.assert_array_equal(out, want)
+
+    def test_out_of_range_indices_gather_finite_zeros(self, rng):
+        # defensive half of the invariant: if padding semantics ever change
+        # to out-of-range sentinels, the one-hot gather must yield 0.0 rows
+        # (no valid one-hot column), which is still finite
+        b, n, m, k, c = 2, 256, 4, 64, 96
+        vals = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+        idx = jnp.full((b, m, k), n, jnp.int32)  # one past the end
+        out = np.asarray(mxu_gather(vals, idx, interpret=True))
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(out, np.zeros((b, m, k, c), np.float32))
