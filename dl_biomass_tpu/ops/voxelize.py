@@ -113,3 +113,51 @@ def voxelize_reference(pos, feat, mask, *, grid, extent=None):
                 fs[i, iv[0], iv[1], iv[2]] += np.asarray(feat)[i, j]
             os_[i, iv[0], iv[1], iv[2]] += np.clip(u - (iv + 0.5), -0.5, 0.5)
     return counts, fs, os_
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "n_keep"))
+def voxel_select_first(
+    pos: jax.Array,  # (B, N, 3) float32
+    mask: jax.Array,  # (B, N) bool
+    *,
+    voxel_size: float,
+    n_keep: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """On-device voxel-grid downsampling: first valid point per occupied
+    voxel, identical selection semantics to ``io/resample.voxel_downsample``
+    (reference workflow ``downsampling_point_clouds.py:128-183``): the kept
+    set is the first-by-original-index representative of each voxel, and the
+    kept order is ascending original index, so truncation to ``n_keep``
+    matches the host path's ``kept[:n]`` exactly.
+
+    Returns ``(idx, out_mask)`` with ``idx`` (B, n_keep) gather indices and
+    ``out_mask`` False on slots past the representative count. Static-shape,
+    fully jittable — built for the density pipeline (bench config 4), where
+    the host voxel pass + per-batch transfer made the row tunnel-noise-bound.
+
+    Envelope: int32 packed keys need ``(span_x*span_y*span_z) < 2^31`` —
+    at 0.35 m voxels that is any extent under ~450 m per axis (plot clouds
+    are ~30-50 m); degenerate larger extents belong to the host path.
+    """
+    b, n, _ = pos.shape
+
+    def one(p, m):
+        q = jnp.floor(p / voxel_size).astype(jnp.int32)
+        qmin = jnp.min(jnp.where(m[:, None], q, jnp.int32(2**30)), axis=0)
+        q = q - qmin
+        span = jnp.max(jnp.where(m[:, None], q, -1), axis=0) + 1
+        key = (q[:, 0] * span[1] + q[:, 1]) * span[2] + q[:, 2]
+        # invalid points sort behind every real key and never match a voxel
+        key = jnp.where(m, key, jnp.int32(2**31 - 1))
+        order = jnp.argsort(key, stable=True)  # groups voxels; original
+        # index ascends inside each group (stable)
+        ks = key[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & (ks < 2**31 - 1)
+        rep = jnp.zeros((n,), bool).at[order].set(first)
+        # compact to the first n_keep representatives in original order:
+        # stable argsort of (not rep) lists reps first, index-ascending
+        sel = jnp.argsort(~rep, stable=True)[:n_keep]
+        return sel, rep[sel]
+
+    return jax.vmap(one)(pos, mask)

@@ -153,3 +153,45 @@ class TestVoxelNet:
         out1 = model.apply(v1, batch, train=False)
         out2 = m2.apply(v1, batch, train=False)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestVoxelSelectFirst:
+    """On-device voxel downsample vs the host io/resample.voxel_downsample
+    oracle (first-per-voxel, ascending original index)."""
+
+    def test_matches_host_voxel_downsample(self):
+        import numpy as np
+
+        from dl_biomass_tpu.io.resample import voxel_downsample
+        from dl_biomass_tpu.ops.voxelize import voxel_select_first
+
+        rng = np.random.default_rng(0)
+        n, n_keep = 2048, 512
+        pos = (rng.normal(size=(2, n, 3)) * 5).astype(np.float32)
+        mask = np.ones((2, n), bool)
+        mask[1, 1500:] = False
+        idx, omask = voxel_select_first(
+            jnp.asarray(pos), jnp.asarray(mask), voxel_size=0.35, n_keep=n_keep)
+        idx, omask = np.asarray(idx), np.asarray(omask)
+        for i in range(2):
+            want = voxel_downsample(
+                pos[i][mask[i]].astype(np.float64), 0.35)[:n_keep]
+            got = idx[i][omask[i]]
+            assert len(got) == len(want)
+            np.testing.assert_array_equal(got, want)
+
+    def test_truncation_matches_host_prefix(self):
+        import numpy as np
+
+        from dl_biomass_tpu.io.resample import voxel_downsample
+        from dl_biomass_tpu.ops.voxelize import voxel_select_first
+
+        rng = np.random.default_rng(1)
+        n, n_keep = 4096, 64  # far fewer slots than occupied voxels
+        pos = (rng.normal(size=(1, n, 3)) * 5).astype(np.float32)
+        mask = np.ones((1, n), bool)
+        idx, omask = voxel_select_first(
+            jnp.asarray(pos), jnp.asarray(mask), voxel_size=0.35, n_keep=n_keep)
+        assert np.asarray(omask).all()
+        want = voxel_downsample(pos[0].astype(np.float64), 0.35)[:n_keep]
+        np.testing.assert_array_equal(np.asarray(idx)[0], want)

@@ -165,7 +165,8 @@ def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
 
 
 def _bq_kernel_when(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
-                    cvalid_ref, out_ref, val_ref, acc_ref, *, radius2, k, n, cm):
+                    cvalid_ref, out_ref, val_ref, acc_ref, *, radius2, k, n, cm,
+                    rounds=_R, predicated=True):
     """Static 8-round unroll, each round predicated on r < w_max (exact)."""
     l_dim, g_dim = px_ref.shape[1], px_ref.shape[2]
     m = cx_ref.shape[1]
@@ -213,8 +214,8 @@ def _bq_kernel_when(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
         w = jnp.sum(win.astype(jnp.float32), axis=1)  # (CM, G)
         w_max = jnp.max(w).astype(jnp.int32)
 
-        for r in range(_R):
-            @pl.when(r < w_max)
+        for r in range(rounds):
+            @pl.when((r < w_max) if predicated else (r >= 0))
             def _():
                 val_cur = val_ref[...]
                 bmin = jnp.min(val_cur, axis=1)
@@ -250,9 +251,11 @@ def bq(centers, center_mask, pos, mask, *, radius, k=64, cm=32, phase="full"):
     cv = jnp.pad(center_mask.astype(jnp.float32), ((0, 0), (0, m_pad - m)))[:, :, None]
     p_spec = pl.BlockSpec((1, l_dim, _G), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, m_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    if phase == "when":
+    if phase.startswith("when"):
+        rounds = _R if phase == "when" else int(phase[4:])
         out = pl.pallas_call(
-            partial(_bq_kernel_when, radius2=float(radius) ** 2, k=k, n=n, cm=cm),
+            partial(_bq_kernel_when, radius2=float(radius) ** 2, k=k, n=n, cm=cm,
+                    rounds=rounds, predicated=(phase == "when")),
             grid=(b,),
             in_specs=[p_spec] * 4 + [c_spec] * 4,
             out_specs=pl.BlockSpec((1, m_pad, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -303,8 +306,8 @@ def main(b=36, m=512, n=2048):
     mask = jnp.ones((b, n), bool)
     centers = pos[:, :m]
     cmask = mask[:, :m]
-    for phase in ("full", "when"):
-        for cm in (32, 64, 128):
+    for phase in ("when0", "when1", "when2", "when8", "full", "rank"):
+        for cm in (32,):
             fn = partial(bq, radius=8.0, cm=cm, phase=phase)
             ms = timed(fn, centers, cmask, pos, mask)
             print(f"phase={phase:8s} cm={cm:3d}: {ms:7.3f} ms", flush=True)
