@@ -619,7 +619,7 @@ def main() -> None:
     progress["headline"] = True
     progress["result"] = result  # mutated in place by later stages; the
     # watchdog snapshots it for the marked superset line
-    progress["remaining"] = ["roofline", "engine", "b16", "bulk_serve"]
+    progress["remaining"] = ["roofline", "scan", "engine", "b16", "bulk_serve"]
 
     model, state = head.pop("_model"), head.pop("_state")
     trainer, hbatch = head.pop("_trainer"), head.pop("_batch")
@@ -638,6 +638,41 @@ def main() -> None:
     else:
         skipped.append("roofline")
         progress["remaining"].remove("roofline")
+
+    # --- Stage A3 (optional): scan-path train rate. Trainer.fit's epochs run
+    # steps under ONE lax.scan dispatch (train/trainer.py scan-over-steps);
+    # the headline's chained-dispatch timing additionally pays the tunnel's
+    # ~1.7 ms/step execute bubble. This field reports the production epoch
+    # path's device rate at the same B=36 shape (headline unchanged).
+    if time_left() > 120:
+        try:
+            import jax.numpy as _jnp
+            from jax import lax as _lax
+
+            @jax.jit
+            def scan8(state, batch, key):
+                def body(st, k):
+                    st, loss = trainer._train_step(st, batch, k)
+                    return st, loss
+                return _lax.scan(body, state, jax.random.split(key, 8))
+
+            st2, losses = scan8(state, hbatch, jax.random.key(7))
+            float(_jnp.sum(losses))  # compile + sync
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                st2, losses = scan8(state, hbatch, jax.random.key(8))
+                float(_jnp.sum(losses))
+                best = min(best, (time.perf_counter() - t0) / 8)
+            result["train_scan_clouds_per_sec"] = round(B_HEAD / best, 2)
+            result["train_scan_ms_per_step"] = round(best * 1000, 2)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"scan stage failed ({e}); continuing", file=sys.stderr)
+        progress["remaining"].remove("scan")
+    else:
+        skipped.append("scan")
+        progress["remaining"].remove("scan")
 
     # --- Stage B (optional): folded-weight serving engine at B=36.
     if time_left() > 120:

@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dl_biomass_tpu.core.cloud import round_up
 
-_CM = 8  # centroids per tile
+_CM = 32  # centroids per inner tile (round 5: was 8 with a (B, n_tiles)
+# grid — 2304 grid steps; now 16 fori iterations inside a grid=(B,) kernel)
 _K = 64  # neighbor slots
 
 
@@ -60,75 +61,100 @@ def _onehot_dot(onehot, table, *, split_f32):
     return acc
 
 
-def _bwd_kernel(ct_ref, idx_ref, out_ref, *, split_f32):
-    j = pl.program_id(1)
+def _bwd_kernel(ct_ref, idx_ref, out_ref, *, split_f32, n_tiles):
+    """grid=(B,): whole-item blocks, fori over centroid tiles (the repo's
+    grid discipline — a (B, n_tiles) grid at CM=8 was 2304 multi-us grid
+    steps/step at SA2 flagship scale, round-5 rework)."""
     n = out_ref.shape[1]
-    rows = idx_ref[0, 0, :, :]  # (CM*K, 1)
+    rk = _CM * _K
     gcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    onehot_t = gcol == rows[:, 0][None, :]  # (N, CM*K)
-    contrib = _onehot_dot(onehot_t, ct_ref[0, 0], split_f32=split_f32)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+    def tile(t, acc):
+        rs = pl.ds(pl.multiple_of(t * rk, rk), rk)
+        rows = idx_ref[0, rs, :]  # (CM*K, 1)
+        onehot_t = gcol == rows[:, 0][None, :]  # (N, CM*K)
+        return acc + _onehot_dot(onehot_t, ct_ref[0, rs, :],
+                                 split_f32=split_f32)
 
-    out_ref[0] += contrib.astype(out_ref.dtype)
+    acc = lax.fori_loop(
+        0, n_tiles, tile,
+        jnp.zeros((n, out_ref.shape[2]), jnp.float32), unroll=False)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _fwd_kernel(*refs, split_f32):
+def _fwd_kernel(*refs, split_f32, n_tiles):
     n_tables = (len(refs) - 1) // 2
     idx_ref = refs[0]
     val_refs = refs[1 : 1 + n_tables]
     out_refs = refs[1 + n_tables :]
     n = val_refs[0].shape[1]
-    rows = idx_ref[0, 0, :, :]  # (CM*K, 1) int32
+    rk = _CM * _K
     gidx = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    eq = rows == gidx  # one one-hot build shared by every value table
-    for vr, outr in zip(val_refs, out_refs):
-        outr[0, 0] = _onehot_dot(eq, vr[0], split_f32=split_f32).astype(outr.dtype)
+
+    def tile(t, _):
+        rs = pl.ds(pl.multiple_of(t * rk, rk), rk)
+        rows = idx_ref[0, rs, :]  # (CM*K, 1) int32
+        eq = rows == gidx  # one one-hot build shared by every value table
+        for vr, outr in zip(val_refs, out_refs):
+            outr[0, rs, :] = _onehot_dot(
+                eq, vr[0], split_f32=split_f32).astype(outr.dtype)
+        return 0
+
+    lax.fori_loop(0, n_tiles, tile, 0, unroll=False)
 
 
 def _gather_fwd(values_list, idx_tiles, interpret):
     b, n_tiles = idx_tiles.shape[:2]
     n = values_list[0].shape[1]
+    rk = _CM * _K
+    idx_rows = idx_tiles.reshape(b, n_tiles * rk, 1)
     v_specs = [
-        pl.BlockSpec((1, n, v.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, n, v.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for v in values_list
     ]
     o_specs = [
-        pl.BlockSpec((1, 1, _CM * _K, v.shape[2]), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, n_tiles * rk, v.shape[2]), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
         for v in values_list
     ]
     o_shapes = [
-        jax.ShapeDtypeStruct((b, n_tiles, _CM * _K, v.shape[2]), v.dtype)
+        jax.ShapeDtypeStruct((b, n_tiles * rk, v.shape[2]), v.dtype)
         for v in values_list
     ]
     out = pl.pallas_call(
-        partial(_fwd_kernel, split_f32=not interpret),
-        grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)]
+        partial(_fwd_kernel, split_f32=not interpret, n_tiles=n_tiles),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n_tiles * rk, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
         + v_specs,
         out_specs=o_specs,
         out_shape=o_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(idx_tiles, *values_list)
-    return out if isinstance(out, (list, tuple)) else [out]
+    )(idx_rows, *values_list)
+    out = out if isinstance(out, (list, tuple)) else [out]
+    return [o.reshape(b, n_tiles, rk, o.shape[-1]) for o in out]
 
 
 def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
     b, n_tiles = idx_tiles.shape[:2]
     c = ct_tiles.shape[-1]
+    rk = _CM * _K
     return pl.pallas_call(
-        partial(_bwd_kernel, split_f32=not interpret),
-        grid=(b, n_tiles),
+        partial(_bwd_kernel, split_f32=not interpret, n_tiles=n_tiles),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, _CM * _K, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _CM * _K, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles * rk, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles * rk, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), ct_tiles.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(ct_tiles, idx_tiles)
+    )(ct_tiles.reshape(b, n_tiles * rk, c), idx_tiles.reshape(b, n_tiles * rk, 1))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
