@@ -70,14 +70,20 @@ def _run_folded(x, layers, act=True, compute_dtype=jnp.float32):
 
     ``compute_dtype=bf16`` matches the model's production eval numerics AND
     its speed — serving the folded chain in f32 measured 3.4x slower (the
-    edge tensors are bandwidth-bound; f32 doubles the bytes)."""
+    edge tensors are bandwidth-bound; f32 doubles the bytes). Dots run on
+    explicitly flattened 2-D operands — the same eval-only layout hint as
+    models/layers.Dense (a 4-D operand makes XLA pick an M-minor dot layout
+    for 64-wide outputs and pay a full relayout copy downstream)."""
+    shp = x.shape
+    if x.ndim > 2:
+        x = x.reshape(-1, shp[-1])
     for i, (w, b) in enumerate(layers):
         x = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
                     preferred_element_type=jnp.float32) + b
         if act and i < len(layers) - 1:
             x = jnp.maximum(x, 0.0)
         x = x.astype(compute_dtype)
-    return x
+    return x.reshape(*shp[:-1], x.shape[-1])
 
 
 def compile_inference(model, variables, fused_eval: bool = False,

@@ -72,11 +72,21 @@ class Dense(nn.Module):
         """Raw f32 parameters — for the fused-stats path's analytic moments."""
         return self.kernel, self.bias
 
-    def __call__(self, x):
+    def __call__(self, x, *, flatten: bool = False):
         if x.shape[-1] != self.in_features:
             raise ValueError(
                 f"Dense expected {self.in_features} input features, got {x.shape[-1]}"
             )
+        shp = x.shape
+        if flatten and x.ndim > 2:
+            # EVAL-ONLY layout hint (round 5): on a 4-D operand XLA's TPU dot
+            # picks an M-minor output layout for 64-wide outputs, then pays a
+            # full relayout copy (measured 3.6 ms at SA1 B=36) to feed the
+            # fused lin2+max reduce; an explicit 2-D operand flips that choice
+            # (eval step 32.6 -> 30.6 ms). Same contraction, bit-identical
+            # output. NOT for training: the same reshape reorganizes the
+            # backward's transposed dots and measured 57 -> 184 ms/step.
+            x = x.reshape(-1, shp[-1])
         y = jnp.dot(
             x.astype(self.compute_dtype),
             self.kernel.astype(self.compute_dtype),
@@ -86,7 +96,10 @@ class Dense(nn.Module):
         # return activations in compute_dtype: the edge tensors between layers
         # are the memory-bound cost of the SA MLPs, and bf16 halves that HBM
         # traffic (params, accumulation and BN statistics stay f32)
-        return (y + self.bias).astype(self.compute_dtype)
+        y = (y + self.bias).astype(self.compute_dtype)
+        if flatten and len(shp) > 2:
+            y = y.reshape(*shp[:-1], self.features)
+        return y
 
 
 class MaskedBatchNorm(nn.Module):
@@ -227,9 +240,10 @@ class MLP(nn.Module):
         if self.analytic_bn:
             return self._folded(x, mask, lins, bns, act, train)
 
+        flat = not train  # eval-only dot layout hint (see Dense.__call__)
         for lin, bn in zip(lins[:-1], bns):
-            x = self._post(lin(x), bn, mask, act, train)
-        return lins[-1](x)
+            x = self._post(lin(x, flatten=flat), bn, mask, act, train)
+        return lins[-1](x, flatten=flat)
 
     def from_z0(self, z0, mask=None, train: bool = False):
         """Continue the stack from layer 0's PRE-BN output ``z0`` (x @ W0 +
@@ -245,10 +259,11 @@ class MLP(nn.Module):
         lins, bns = self._layers()
         if not bns:  # single-linear MLP: z0 IS the final output
             return z0
+        flat = not train  # eval-only dot layout hint (see Dense.__call__)
         x = self._post(z0, bns[0], mask, act, train)
         for lin, bn in zip(lins[1:-1], bns[1:]):
-            x = self._post(lin(x), bn, mask, act, train)
-        return lins[-1](x)
+            x = self._post(lin(x, flatten=flat), bn, mask, act, train)
+        return lins[-1](x, flatten=flat)
 
     def _folded(self, x, mask, lins, bns, act, train):
         cdt = self.compute_dtype
