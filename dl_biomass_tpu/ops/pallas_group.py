@@ -46,7 +46,8 @@ from dl_biomass_tpu.core.cloud import round_up
 
 _G = 128  # residue buckets
 _K = 64  # output slots (= reference max_num_neighbors)
-_CM = 32  # centroids per inner tile
+_CM = 64  # centroids per inner tile (round-5 sweep: 6.56 ms vs 6.74 at 32,
+# flat beyond 64 — tools-level sweep at B=36 SA1 scale)
 
 
 def stratified_pair_select(keys: jax.Array, big) -> Tuple[jax.Array, jax.Array]:

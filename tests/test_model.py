@@ -214,3 +214,23 @@ class TestSplitFirstLayer:
             return jnp.sum(out ** 2)
         g = jax.grad(loss)(v["params"])
         assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+class TestDenseFlattenParity:
+    """The eval-only 2-D dot layout hint (round 5) must be numerically
+    invisible: same contraction, bit-identical output."""
+
+    def test_flatten_is_bit_identical(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from dl_biomass_tpu.models.layers import Dense
+
+        x = jnp.asarray(rng.normal(size=(3, 5, 7, 32)), jnp.float32)
+        d = Dense(16, in_features=32, compute_dtype=jnp.bfloat16)
+        params = d.init(jax.random.key(0), x)
+        y4 = d.apply(params, x)
+        y2 = d.apply(params, x, flatten=True)
+        assert y2.shape == y4.shape
+        np.testing.assert_array_equal(
+            np.asarray(y4, np.float32), np.asarray(y2, np.float32))
