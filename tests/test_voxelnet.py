@@ -195,3 +195,15 @@ class TestVoxelSelectFirst:
         assert np.asarray(omask).all()
         want = voxel_downsample(pos[0].astype(np.float64), 0.35)[:n_keep]
         np.testing.assert_array_equal(np.asarray(idx)[0], want)
+
+    def test_all_invalid_row_yields_empty_mask(self):
+        import numpy as np
+
+        from dl_biomass_tpu.ops.voxelize import voxel_select_first
+
+        rng = np.random.default_rng(2)
+        pos = (rng.normal(size=(1, 256, 3)) * 5).astype(np.float32)
+        mask = np.zeros((1, 256), bool)
+        idx, omask = voxel_select_first(
+            jnp.asarray(pos), jnp.asarray(mask), voxel_size=0.35, n_keep=64)
+        assert not np.asarray(omask).any()

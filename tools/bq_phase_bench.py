@@ -160,7 +160,58 @@ def _bq_kernel(px_ref, py_ref, pz_ref, valid_ref, cx_ref, cy_ref, cz_ref,
         out_ref[0, sl, :] = jnp.min(acc, axis=2)
         return 0
 
-    body = tile_dyn if phase == "dyn" else tile
+
+    def tile_merged(t, _, unroll_py=False):
+        """Merged extraction+scatter, FUNCTIONAL carries, static 8 rounds."""
+        sl = pl.ds(pl.multiple_of(t * cm, cm), cm)
+        cx = cx_ref[0, sl, :][:, :, None]
+        cy = cy_ref[0, sl, :][:, :, None]
+        cz = cz_ref[0, sl, :][:, :, None]
+        cok = (cvalid_ref[0, sl, :] > 0.5)[:, :, None]
+        dx = px[None] - cx
+        dy = py[None] - cy
+        dz = pz[None] - cz
+        d2 = dx * dx + dy * dy + dz * dz
+        ok = (d2 <= radius2) & cok & inb[None]
+        okb = ok.astype(jnp.bfloat16)
+        pre_g = jax.lax.dot_general(
+            okb, slt_g, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rowcnt = jnp.sum(okb.astype(jnp.float32), axis=2)
+        pre_l = jax.lax.dot_general(
+            rowcnt.astype(jnp.bfloat16), slt_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rank = pre_l[:, :, None] + pre_g
+        win = ok & (rank < jnp.float32(k))
+        packed = (rank.astype(jnp.int32) << _KEY_BITS) | gidx[None]
+        val = jnp.where(win, packed, int_big)
+
+        def rnd(r, carry):
+            val_cur, acc = carry
+            bmin = jnp.min(val_cur, axis=1)
+            val_cur = jnp.where(val_cur == bmin[:, None, :], int_big, val_cur)
+            cr = bmin >> _KEY_BITS
+            ckey = bmin & ((1 << _KEY_BITS) - 1)
+            eq = cr[:, None, :] == kio
+            acc = jnp.where(eq, ckey[:, None, :], acc)
+            return val_cur, acc
+
+        acc = jnp.full((cm, k, g_dim), big_key, jnp.int32)
+        if unroll_py:
+            carry = (val, acc)
+            for r in range(_R):
+                carry = rnd(r, carry)
+            acc = carry[1]
+        else:
+            _, acc = lax.fori_loop(0, _R, rnd, (val, acc))
+        out_ref[0, sl, :] = jnp.min(acc, axis=2)
+        return 0
+
+    from functools import partial as _p
+    body = {"dyn": tile_dyn, "mstatic": tile_merged,
+            "munroll": _p(tile_merged, unroll_py=True)}.get(phase, tile)
     lax.fori_loop(0, m // cm, body, 0, unroll=False)
 
 
@@ -306,7 +357,7 @@ def main(b=36, m=512, n=2048):
     mask = jnp.ones((b, n), bool)
     centers = pos[:, :m]
     cmask = mask[:, :m]
-    for phase in ("when0", "when1", "when2", "when8", "full", "rank"):
+    for phase in ("full", "mstatic", "munroll"):
         for cm in (32,):
             fn = partial(bq, radius=8.0, cm=cm, phase=phase)
             ms = timed(fn, centers, cmask, pos, mask)
