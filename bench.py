@@ -275,7 +275,6 @@ def bench_config4() -> None:
     SA stack on a raw 50k cloud would materialize a 6.7 GB edge tensor)."""
     from dl_biomass_tpu.core.cloud import CloudBatch
     from dl_biomass_tpu.core.config import HyperParams, TrainConfig
-    from dl_biomass_tpu.io.resample import voxel_downsample
     from dl_biomass_tpu.models.pointnet2 import build_model
     from dl_biomass_tpu.train.trainer import Trainer
 
@@ -331,9 +330,11 @@ def bench_config4() -> None:
         dt = float("inf")
         for _rep in range(5):
             t0 = time.perf_counter()
-            raw = jnp.asarray(raw_np)  # host->device transfer stays timed
             losses = []
             for _ in range(ch):
+                # fresh transfer per chained call: each batch pays its own
+                # host->device move, as a real pipeline would
+                raw = jnp.asarray(raw_np)
                 loss, kept = step(state.params, state.batch_stats, raw)
                 losses.append(loss)
             float(sum(losses))  # one sync bounds the chained queue
@@ -349,8 +350,8 @@ def bench_config4() -> None:
         "by_raw_points": rows,
         "pipeline_note": (
             "device-native: voxel_select_first + pack + eval in one jitted "
-            "dispatch; host transfer timed; selection parity with the host "
-            "voxel_downsample pinned by test"
+            "dispatch; per-batch host transfer timed; selection parity with "
+            "the host voxel_downsample pinned by test"
         ),
         "device": str(jax.devices()[0]),
     }))
@@ -570,12 +571,15 @@ def main() -> None:
             # clean run that measured fewer fields: re-print the superset
             # with an explicit marker + the stages the stall swallowed
             # (ADVICE r4). stdout so the driver's tail sees it.
-            if progress["headline"] and progress.get("result") is not None:
-                final = dict(progress["result"])
-                final["watchdog_fired"] = True
-                final["watchdog_pending_stages"] = progress.get(
-                    "remaining", [])
-                print(json.dumps(final), flush=True)
+            try:
+                if progress["headline"] and progress.get("result") is not None:
+                    final = dict(progress["result"])
+                    final["watchdog_fired"] = True
+                    final["watchdog_pending_stages"] = list(
+                        progress.get("remaining", []))
+                    print(json.dumps(final), flush=True)
+            except Exception:  # racing main-thread mutation must never
+                pass  # stop the hard exit — that IS the backstop
             os._exit(0 if progress["headline"] else 5)
 
     threading.Thread(target=_watchdog, daemon=True).start()

@@ -61,10 +61,11 @@ def _onehot_dot(onehot, table, *, split_f32):
     return acc
 
 
-def _bwd_kernel(ct_ref, idx_ref, out_ref, *, split_f32, n_tiles):
-    """grid=(B,): whole-item blocks, fori over centroid tiles (the repo's
+def _bwd_kernel(ct_ref, idx_ref, out_ref, *, split_f32, n_tiles, n_splits=1):
+    """grid=(B, ns): whole-split blocks, fori over centroid tiles (the repo's
     grid discipline — a (B, n_tiles) grid at CM=8 was 2304 multi-us grid
-    steps/step at SA2 flagship scale, round-5 rework)."""
+    steps/step at SA2 flagship scale, round-5 rework). The (1, N, C) output
+    block is revisited across the ns M-splits and accumulates in VMEM."""
     n = out_ref.shape[1]
     rk = _CM * _K
     gcol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -79,7 +80,14 @@ def _bwd_kernel(ct_ref, idx_ref, out_ref, *, split_f32, n_tiles):
     acc = lax.fori_loop(
         0, n_tiles, tile,
         jnp.zeros((n, out_ref.shape[2]), jnp.float32), unroll=False)
-    out_ref[0] = acc.astype(out_ref.dtype)
+    if n_splits == 1:
+        out_ref[0] = acc.astype(out_ref.dtype)
+    else:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        out_ref[0] += acc.astype(out_ref.dtype)
 
 
 def _fwd_kernel(*refs, split_f32, n_tiles):
@@ -103,17 +111,34 @@ def _fwd_kernel(*refs, split_f32, n_tiles):
     lax.fori_loop(0, n_tiles, tile, 0, unroll=False)
 
 
+def _m_split(n_tiles: int, row_bytes: int) -> int:
+    """Smallest divisor split of the tile count keeping the per-grid-step
+    edge windows (rows x row_bytes, double-buffered in+out) under ~40 MB —
+    the flagship shapes run ns=1; large-M configs split instead of OOMing
+    VMEM (the whole-item blocks scale with M since the round-5 grid rework)."""
+    rk = _CM * _K
+    ns = 1
+    while ns < n_tiles and 4 * (n_tiles // ns) * rk * row_bytes > 40 * 2**20:
+        ns += 1
+        while n_tiles % ns and ns < n_tiles:
+            ns += 1
+    return ns
+
+
 def _gather_fwd(values_list, idx_tiles, interpret):
     b, n_tiles = idx_tiles.shape[:2]
     n = values_list[0].shape[1]
     rk = _CM * _K
     idx_rows = idx_tiles.reshape(b, n_tiles * rk, 1)
+    row_bytes = max(512, max(v.shape[2] * v.dtype.itemsize for v in values_list))
+    ns = _m_split(n_tiles, row_bytes)
+    nt = n_tiles // ns
     v_specs = [
-        pl.BlockSpec((1, n, v.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, n, v.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
         for v in values_list
     ]
     o_specs = [
-        pl.BlockSpec((1, n_tiles * rk, v.shape[2]), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, nt * rk, v.shape[2]), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM)
         for v in values_list
     ]
@@ -122,9 +147,9 @@ def _gather_fwd(values_list, idx_tiles, interpret):
         for v in values_list
     ]
     out = pl.pallas_call(
-        partial(_fwd_kernel, split_f32=not interpret, n_tiles=n_tiles),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, n_tiles * rk, 1), lambda i: (i, 0, 0),
+        partial(_fwd_kernel, split_f32=not interpret, n_tiles=nt),
+        grid=(b, ns),
+        in_specs=[pl.BlockSpec((1, nt * rk, 1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)]
         + v_specs,
         out_specs=o_specs,
@@ -140,19 +165,24 @@ def _gather_bwd(ct_tiles, idx_tiles, n, interpret):
     b, n_tiles = idx_tiles.shape[:2]
     c = ct_tiles.shape[-1]
     rk = _CM * _K
+    ns = _m_split(n_tiles, max(512, c * ct_tiles.dtype.itemsize))
+    nt = n_tiles // ns
     return pl.pallas_call(
-        partial(_bwd_kernel, split_f32=not interpret, n_tiles=n_tiles),
-        grid=(b,),
+        partial(_bwd_kernel, split_f32=not interpret, n_tiles=nt, n_splits=ns),
+        grid=(b, ns),
         in_specs=[
-            pl.BlockSpec((1, n_tiles * rk, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, nt * rk, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles * rk, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, nt * rk, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), ct_tiles.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),  # out accumulates
+        ),
         interpret=interpret,
     )(ct_tiles.reshape(b, n_tiles * rk, c), idx_tiles.reshape(b, n_tiles * rk, 1))
 

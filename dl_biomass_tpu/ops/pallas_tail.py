@@ -20,8 +20,13 @@ Numerics mirror the unfused pair exactly:
     scatter_max rule, like masked_max's VJP), da2/dW3 via bf16 MXU dots with
     f32 accumulation.
 
-Production (bfloat16) path only: the f32/parity preset keeps the unfused
-exact path (models/pointnet2.SAModule gates on compute_dtype).
+NOT wired into any model path: at SA-layer shapes this kernel only ties
+XLA's forward (XLA fuses the eval max into the dot itself) and loses the
+backward on Mosaic matmul codegen — the full measured negative lives in
+docs/BENCHMARKS.md round 5. It stays in-tree, parity-pinned, as the
+candidate to re-measure when the Mosaic codegen picture changes (it is
+bf16-production-math only; the f32/parity preset would keep the unfused
+exact path regardless).
 
 Grid discipline per docs/DESIGN.md: one grid step per batch item, fori over
 centroid tiles inside; operands laid out 2-D per item (a2 as (B, M*K, C2))
@@ -63,7 +68,7 @@ def _fwd_kernel(a2_ref, mask_ref, w_ref, b_ref, out_ref, am_ref, *,
     b = b_ref[...]  # (1, C3) f32
     kio = lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
-    big = jnp.float32(3.0e38)  # dominates any finite bf16 activation
+    neg = jnp.float32(-jnp.inf)
 
     def tile(t, _):
         rs = pl.ds(pl.multiple_of(t * mt * k, mt * k), mt * k)
@@ -75,20 +80,23 @@ def _fwd_kernel(a2_ref, mask_ref, w_ref, b_ref, out_ref, am_ref, *,
         )  # (R, C3) f32 — same dot as Dense.__call__
         # bf16 round like Dense, then carry the EXACT bf16 values in f32:
         # the max over f32-exact bf16 values equals the bf16 max bit-for-bit,
-        # and f32 sidesteps Mosaic's 16/1-bit relayout limits. Masking is the
-        # additive -BIG trick on a (MT, K, 1) f32 column (minor-dim inserts
-        # are 32-bit-only in Mosaic): valid slots add exactly 0.0.
+        # and f32 sidesteps Mosaic's 16/1-bit relayout limits. Masking is a
+        # true where(mask, z, -inf) (masked_max semantics incl. NaN/Inf junk
+        # at invalid slots): the (MT, K, 1) f32 mask column broadcasts to
+        # full shape FIRST (bool minor-dim inserts are unsupported in
+        # Mosaic), then one full-shape compare drives the select.
         zf = (acc + b).astype(jnp.bfloat16).astype(jnp.float32).reshape(mt, k, c3)
-        negcol = (mask_ref[0, ms, :][:, :, None] - 1.0) * big  # (MT, K, 1)
-        zm = zf + negcol
+        mcol = mask_ref[0, ms, :][:, :, None]  # (MT, K, 1) f32, 1.0 = valid
+        m3 = mcol + jnp.zeros_like(zf)  # full-shape f32 broadcast
+        zm = jnp.where(m3 > 0.5, zf, neg)
         vmax = jnp.max(zm, axis=1)  # (MT, C3) f32, exact bf16 values
-        any_neg = vmax < -big * 0.5  # all-invalid rows (max is the -BIG fill)
+        any_neg = vmax == neg  # all-invalid rows (max is the -inf fill)
         out_ref[0, ms, :] = vmax.astype(jnp.bfloat16)
         if with_argmax:
             # first-index tie rule (matches ops/pooling._max_and_argmax):
             # smallest k whose masked value equals the max. Invalid slots sit
-            # at -BIG and never equal a valid row's max; all-invalid rows get
-            # k, which routes zero gradient in the backward kernel.
+            # at -inf and never equal a valid row's finite max; all-invalid
+            # rows get k, which routes zero gradient in the backward kernel.
             eq = zm == vmax[:, None, :]
             am = jnp.min(jnp.where(eq, kio, jnp.int32(k)), axis=1)
             am_ref[0, ms, :] = jnp.where(any_neg, jnp.int32(k), am)

@@ -138,6 +138,13 @@ def voxel_select_first(
     Envelope: int32 packed keys need ``(span_x*span_y*span_z) < 2^31`` —
     at 0.35 m voxels that is any extent under ~450 m per axis (plot clouds
     are ~30-50 m); degenerate larger extents belong to the host path.
+
+    Precision note: quantization here is float32 (``floor(pos/voxel_size)``
+    on-device) while the host path may quantize float64 — a coordinate
+    whose quotient straddles a representability boundary can land in the
+    adjacent voxel. Selection is identical whenever both paths agree on the
+    quantization (always true for f32-valued inputs, which is what the
+    pipeline feeds); the parity tests pin exactly that case.
     """
     b, n, _ = pos.shape
 

@@ -105,3 +105,29 @@ class TestPadRowFiniteness:
         out = np.asarray(mxu_gather(vals, idx, interpret=True))
         assert np.isfinite(out).all()
         np.testing.assert_array_equal(out, np.zeros((b, m, k, c), np.float32))
+
+
+class TestLargeMSplit:
+    """Whole-item blocks scale with M since the round-5 grid rework; the
+    _m_split grid factor must keep VMEM bounded without changing results."""
+
+    def test_large_m_forward_and_backward(self, rng):
+        from dl_biomass_tpu.ops.pallas_mxu_gather import _m_split
+
+        b, n, m, k, c = 1, 256, 4096, 64, 96
+        assert _m_split(m // 32, max(512, c * 4)) > 1  # exercises ns > 1
+        vals = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, size=(b, m, k)), jnp.int32)
+        out = np.asarray(mxu_gather(vals, idx, interpret=True))
+        want = np.asarray(vals)[np.zeros(1, int)[:, None, None], np.asarray(idx)]
+        np.testing.assert_array_equal(out, want)
+
+        ct = rng.normal(size=(b, m, k, c)).astype(np.float32)
+
+        def loss(v):
+            return jnp.sum(mxu_gather(v, idx, interpret=True) * ct)
+
+        g = np.asarray(jax.grad(loss)(vals))
+        wantg = np.zeros((b, n, c), np.float32)
+        np.add.at(wantg[0], np.asarray(idx)[0].reshape(-1), ct[0].reshape(-1, c))
+        np.testing.assert_allclose(g, wantg, rtol=1e-5, atol=1e-4)

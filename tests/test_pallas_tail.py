@@ -101,3 +101,19 @@ class TestFusedTailBackward:
         g = np.asarray(jax.grad(loss)(a2), np.float32)
         inv = ~np.asarray(mask)
         assert np.all(g[inv] == 0.0)
+
+
+class TestFusedTailJunkRobustness:
+    def test_nan_inf_at_invalid_slots_ignored(self, data):
+        """masked_max semantics: NaN/Inf junk at masked slots must not leak
+        (the round-5 review caught the additive-mask form propagating NaN)."""
+        a2, mask, w3, b3 = data
+        junk = jnp.where(mask[..., None], a2, jnp.bfloat16(jnp.nan))
+        out = fused_tail(junk, mask, w3, b3, True)
+        want = fused_tail(a2, mask, w3, b3, True)
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(want, np.float32))
+        junk_inf = jnp.where(mask[..., None], a2, jnp.bfloat16(jnp.inf))
+        out2 = fused_tail(junk_inf, mask, w3, b3, True)
+        np.testing.assert_array_equal(
+            np.asarray(out2, np.float32), np.asarray(want, np.float32))
