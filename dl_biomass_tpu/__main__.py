@@ -521,6 +521,9 @@ def cmd_seed_study(argv):
     p.add_argument("--num-augs", type=int, default=3)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--patience", type=int, default=8)
+    p.add_argument("--neuron-multiplier", type=int, default=0,
+                   help="SA/head width multiplier (reference constructor "
+                        "knob; 0 = original architecture)")
     p.add_argument("--out", default="seed_study.json")
     args = p.parse_args(argv)
 
@@ -531,6 +534,7 @@ def cmd_seed_study(argv):
         num_plots=args.num_plots, n_points=args.num_points,
         batch_size=args.batch_size, num_augs=args.num_augs,
         lr=args.lr, patience=args.patience,
+        neuron_multiplier=args.neuron_multiplier,
         max_epochs=args.max_epochs, out_json=args.out,
     )
     print(f"wrote {args.out}")

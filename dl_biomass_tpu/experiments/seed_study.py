@@ -75,6 +75,7 @@ def run_seed_study(
     lr: float = 2e-3,
     patience: int = 8,
     max_epochs: int = 40,
+    neuron_multiplier: int = 0,
     corpus_seed: int = 9999,
     out_json: Optional[str] = None,
     log_fn=print,
@@ -105,7 +106,8 @@ def run_seed_study(
 
     base = TrainConfig(
         hp=HyperParams(batch_size=batch_size, num_augs=num_augs, lr=lr,
-                       patience=patience, num_points=n_points)
+                       patience=patience, num_points=n_points,
+                       neuron_multiplier=neuron_multiplier)
     )
     base.num_epochs = max_epochs
 
@@ -161,6 +163,7 @@ def run_seed_study(
             "num_plots": num_plots, "n_points": n_points, "batch_size": batch_size,
             "num_augs": num_augs, "lr": lr, "patience": patience,
             "max_epochs": max_epochs, "corpus_seed": corpus_seed,
+            "neuron_multiplier": neuron_multiplier,
             "seeds": [int(s) for s in seeds], "modes": list(modes),
         },
         "runs": rows,

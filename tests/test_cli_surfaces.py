@@ -229,7 +229,7 @@ def test_seed_study_cli_plumb_through(tmp_path):
         "seed-study", "--seeds", "2", "--modes", "production+fast_fps",
         "--num-plots", "12", "--num-points", "128", "--max-epochs", "2",
         "--batch-size", "4", "--num-augs", "1", "--lr", "0.005",
-        "--patience", "1", "--out", out,
+        "--patience", "1", "--neuron-multiplier", "1", "--out", out,
     ])
     assert rc == 0
     with open(out) as f:
@@ -245,6 +245,7 @@ def test_seed_study_cli_plumb_through(tmp_path):
     assert cfg["num_augs"] == 1
     assert cfg["lr"] == 0.005
     assert cfg["patience"] == 1
+    assert cfg["neuron_multiplier"] == 1
     # the runs actually executed under those settings
     assert len(study["runs"]) == 2
     assert {r["mode"] for r in study["runs"]} == {"production+fast_fps"}
