@@ -255,6 +255,10 @@ def cmd_tune(argv):
     p.add_argument("--study-out", default="studies/tune.json")
     p.add_argument("--continue-study", action="store_true")
     p.add_argument("--no-pruning", action="store_true")
+    p.add_argument("--catch-failures", action="store_true",
+                   help="mark a crashed trial FAILED and continue the study "
+                        "(Optuna catch=(Exception,)) — e.g. a TPU worker "
+                        "fault costs one trial, not the run")
     own, overrides = _split_overrides(argv, p)
     args = p.parse_args(own)
     cfg = _load_cfg(args, overrides)
@@ -279,7 +283,8 @@ def cmd_tune(argv):
         ds_train, ds_val, base_cfg=cfg, max_num_epochs=args.max_epochs, seed=cfg.seed
     )
     try:
-        study.optimize(objective, n_trials=args.n_trials, timeout=args.timeout)
+        study.optimize(objective, n_trials=args.n_trials, timeout=args.timeout,
+                   catch=(Exception,) if args.catch_failures else ())
     finally:
         # a failing trial re-raises out of optimize — persist the completed
         # trials either way (hours of search must survive one bad trial);

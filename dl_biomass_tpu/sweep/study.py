@@ -295,7 +295,14 @@ class Study:
         timeout: Optional[float] = None,
         callbacks: Sequence[Callable] = (),
         show_progress_bar: bool = False,
+        catch: tuple = (),
     ) -> None:
+        """Optuna-compatible optimize loop. ``catch``: exception types that
+        mark the trial FAILED and continue the study instead of raising —
+        Optuna's own ``catch`` semantics. Use e.g. ``catch=(Exception,)`` to
+        survive environment-level failures (a TPU worker crash costs one
+        trial, not the whole study; see the known b=28 x 7168-pt eval fault
+        in docs/DESIGN.md)."""
         start = time.time()
         i = 0
         while True:
@@ -322,6 +329,11 @@ class Study:
                 if frozen.intermediate_values:
                     best = min if self.direction == "minimize" else max
                     frozen.value = best(frozen.intermediate_values.values())
+            except catch as e:  # noqa: E722 - Optuna catch semantics
+                frozen.state = TrialState.FAIL
+                import sys as _sys
+                print(f"[study] trial {frozen.number} FAILED "
+                      f"({type(e).__name__}: {e}); continuing", file=_sys.stderr)
             except Exception:
                 frozen.state = TrialState.FAIL
                 raise
