@@ -250,3 +250,41 @@ class TestBestHPFromCSV:
 
         with _pytest.raises(FileNotFoundError):
             load_best_hp_from_csv(str(tmp_path / "nope"))
+
+
+class TestOptimizeCatch:
+    """Optuna-parity ``catch``: a raising objective marks the trial FAILED
+    and the study continues (the tune --catch-failures path — an
+    environment fault costs one trial, not the run)."""
+
+    def test_catch_continues_study(self):
+        from dl_biomass_tpu.sweep.study import TrialState, create_study
+
+        calls = []
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0.0, 1.0)
+            calls.append(x)
+            if len(calls) == 2:
+                raise RuntimeError("boom")
+            return x
+
+        study = create_study(direction="minimize")
+        study.optimize(objective, n_trials=4, catch=(RuntimeError,))
+        states = [t.state for t in study.trials]
+        assert len(states) == 4
+        assert states.count(TrialState.FAIL) == 1
+        assert states.count(TrialState.COMPLETE) == 3
+        assert study.best_trial.state == TrialState.COMPLETE
+
+    def test_default_still_raises(self):
+        from dl_biomass_tpu.sweep.study import create_study
+
+        def objective(trial):
+            trial.suggest_float("x", 0.0, 1.0)
+            raise RuntimeError("boom")
+
+        study = create_study(direction="minimize")
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            study.optimize(objective, n_trials=2)
